@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Local mode is a stand-in for a real cluster: `spark.sql.shuffle.partitions`
+  * tracks core count (not the 200 default), AQE is on everywhere so plans
+  * re-partition/skew-split at runtime, and the session time zone is pinned to
+  * UTC for oracle parity.
+  */
+object GraftSession {
+  val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", DefaultCpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().appName(appName).master(s"local[$DefaultCpus]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

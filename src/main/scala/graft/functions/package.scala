@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Column-level helpers shared by graft operators.
+  *
+  * Everything here composes built-in (whole-stage-codegen'd) functions —
+  * no Scala UDFs — so expressions stay inside Tungsten codegen and the
+  * same semantics are expressible as ANSI SQL for the DuckDB oracle.
+  */
+package object functions {
+
+  /** Order-independent, engine-exact sum of a double column: cast each value
+    * to an exact decimal first, sum (exact, associative), then cast the one
+    * final value back to double. Eliminates float-summation
+    * non-determinism across partitionings and engines.
+    */
+  def xsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(27, scale))).cast(DoubleType)
+
+  /** Engine-exact average built from [[xsum]] / count (IEEE division of two
+    * deterministic values).
+    */
+  def xavg(c: Column, scale: Int = 6): Column =
+    xsum(c, scale) / count(lit(1))
+
+  /** Epoch seconds as bigint — ns-safe: Spark truncates parquet ns
+    * timestamps to µs while DuckDB keeps ns, so second-level bucketing is
+    * the cross-engine-safe representation.
+    */
+  def epochS(ts: Column): Column = unix_timestamp(ts).cast(LongType)
+
+  /** Tumbling-window bucket start (epoch seconds), aligned to the epoch. */
+  def windowStart(ts: Column, rangeS: Long): Column =
+    floor(epochS(ts) / rangeS) * rangeS
+
+  /** Lower-cased word tokens of a text column (letters only). */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+
+  /** Normalized content fingerprint: lower, strip non-alphanumerics,
+    * collapse runs — then md5. Catches whitespace/punctuation-only dups.
+    */
+  def normFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Cosine similarity between two float-array columns (cast to double,
+    * index-ordered aggregation → deterministic).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    dot / (na * nb)
+  }
+
+  /** Character n-gram shingles of a normalized text column. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+    // distinct shingles: substring windows over the normalized text
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+}
