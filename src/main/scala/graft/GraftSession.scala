@@ -18,6 +18,9 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
+    // read as long nanos and normalize in Sources.events (exact int division)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.ui.enabled", "false")
 

@@ -34,6 +34,7 @@ object Relational {
         xavg($"l_extendedprice").as("avg_price"),
         xavg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   /** TPC-H Q6-style: pure filter + scalar aggregate. The predicate and the
@@ -101,6 +102,7 @@ object Relational {
       .join(open, $"c_custkey" === $"o_custkey", "left_semi")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"), xsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
   }
 
   /** Left-anti join (NOT EXISTS): customers with no orders at all. */
@@ -190,7 +192,8 @@ object Relational {
          |  ${dsum("l_discount")}/COUNT(*) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q6_revenue" ->
       s"""SELECT ${dsum("l_extendedprice*l_discount")} AS revenue, COUNT(*) AS n_items
          |FROM lineitem
@@ -225,7 +228,7 @@ object Relational {
          |FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders
          |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-         |GROUP BY c_mktsegment""".stripMargin,
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
