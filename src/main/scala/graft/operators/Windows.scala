@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Batch forms of the reference's window family
+  * (/root/reference/lib/wallaroo/core/windows/windows.pony: range windows
+  * with slide/delay/alignment, count windows, ephemeral windows;
+  * late_data_policy.pony: drop / fire_per_message / place_in_oldest_window).
+  *
+  * All assignments are pure column arithmetic on epoch seconds — no UDFs,
+  * so everything stays in whole-stage codegen and the same semantics run
+  * identically in the DuckDB oracle. Streaming forms (watermarks,
+  * `window()`, `session_window`) live in [[graft.streaming.StreamOps]].
+  *
+  * Scale: window assignment is per-row (no shuffle); the downstream
+  * groupBy((key, window)) is the single shuffle. Sliding windows fan out
+  * each row `range/slide` times — callers pick slide accordingly.
+  */
+object Windows {
+
+  /** Epoch-aligned tumbling bucket start (reference aligned range windows). */
+  def withTumbling(df: DataFrame, ts: Column, rangeS: Long,
+      as: String = "window_start"): DataFrame =
+    df.withColumn(as, (epochS(ts) / rangeS).cast("long") * rangeS)
+
+  /** Sliding windows: one output row per (input row, covering window).
+    * Window starts are the multiples of `slideS` in
+    * (t - rangeS, t] — `rangeS/slideS` rows per input.
+    */
+  def withSliding(df: DataFrame, ts: Column, rangeS: Long, slideS: Long,
+      as: String = "window_start"): DataFrame = {
+    val t = epochS(ts)
+    val wMax = (t / slideS).cast("long") * slideS
+    val wMin = ((t - rangeS) / slideS).cast("long") * slideS + slideS
+    df.withColumn(as, explode(sequence(wMin, wMax, lit(slideS))))
+  }
+
+  /** Unaligned range windows: buckets anchored at each key's first event
+    * (reference `RangeWindowsBuilder.unaligned`,
+    * windows.pony:47 `_align_windows = false`).
+    */
+  def withUnaligned(df: DataFrame, key: Column, ts: Column, rangeS: Long,
+      as: String = "window_start"): DataFrame = {
+    val t = epochS(ts)
+    val first = min(t).over(Window.partitionBy(key))
+    df.withColumn(as, first + ((t - first) / rangeS).cast("long") * rangeS)
+  }
+
+  /** Tumbling count windows per key in `order`
+    * (reference `CountWindowsBuilder`, windows.pony:105).
+    */
+  def withCountWindows(df: DataFrame, key: Column, order: Column, n: Int,
+      as: String = "window_id"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order)
+    df.withColumn(as, ((row_number().over(w) - 1) / n).cast("long"))
+  }
+
+  /** Gap-based session windows (the batch reading of the reference's
+    * ephemeral windows: a quiet period closes the window,
+    * ephemeral_window.pony). `gapS` on epoch seconds, deterministic
+    * `order` within key.
+    */
+  def withSessions(df: DataFrame, key: Column, order: Column, ts: Column,
+      gapS: Long, as: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order)
+    val t = epochS(ts)
+    val newSession = when(t - lag(t, 1).over(w) > gapS || lag(t, 1).over(w).isNull, 1)
+      .otherwise(0)
+    df.withColumn(as,
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+  }
+
+  /** Late-data policy `drop` in batch form: the watermark is each key's max
+    * event time minus `delayS` (reference `with_delay` + LateDataPolicy.drop);
+    * rows older than the watermark are discarded.
+    */
+  def dropLate(df: DataFrame, key: Column, ts: Column, delayS: Long): DataFrame = {
+    val wm = max(epochS(ts)).over(Window.partitionBy(key)) - delayS
+    df.withColumn("_wm", wm).filter(epochS(ts) >= col("_wm")).drop("_wm")
+  }
+}
