@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Sources
+
+/** Oracle-gated queries for the LLM-data-pipeline operator families:
+  * [[Dedup]], [[Similarity]], [[TextAnalysis]] over the documents and
+  * embeddings tables. MinHash-LSH / SimHash / IVF are rows-only entries
+  * (their band/bucket internals aren't ANSI-SQL-expressible) — each is
+  * still deterministic and its exact-counterpart query is oracle-checked.
+  */
+object DataOpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, dir)
+      .withColumn("lb", floor($"n_chars" / 100).cast("long"))
+      .withColumn("sh", Dedup.wordShingles($"text"))
+  }
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactGroups(Sources.documents(s, dir), $"doc_id", $"text")
+      .orderBy($"rep_id")
+  }
+
+  def qDedupFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.fingerprintGroups(Sources.documents(s, dir), $"doc_id", $"text")
+      .orderBy($"rep_id")
+  }
+
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaccardPairs(withShingles(s, dir), "doc_id", "sh",
+      Seq("lang", "lb"), 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Sources.documents(s, dir)
+      .withColumn("lb", floor($"n_chars" / 100).cast("long"))
+      .withColumn("sim", Dedup.simhash63($"text"))
+    Dedup.simhashPairs(docs, "doc_id", "sim", Seq("lb"), maxHamming = 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
+      "label", 0.40)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val query = emb.filter($"vec_id" === 0)
+    Similarity.cosineTopK(emb, "vec_id", "embedding", query, "embedding",
+      k = 10, excludeId = Some(0L))
+      .select($"vec_id", $"label", $"cos")
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = Similarity.assignIvf(emb, "vec_id", "embedding",
+      centroids, "cid", "cvec")
+    val query = emb.filter($"vec_id" === 0)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids, "cid", "cvec",
+      query, "embedding", k = 10, nprobe = 3, excludeId = Some(0L))
+      .select($"vec_id", $"bucket", $"cos")
+  }
+
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, dir).select(
+      $"doc_id",
+      TextAnalysis.wsTokenCount($"text").cast("long").as("n_ws_tokens"),
+      TextAnalysis.bpeishTokenCount($"text").cast("long").as("n_bpeish_tokens"),
+      $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.withQuality(Sources.documents(s, dir), $"text")
+      .select($"doc_id", $"n_words", $"avg_word_len", $"stopword_ratio",
+        $"alpha_ratio", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, dir)
+      .select($"doc_id", $"lang", TextAnalysis.langIdExpr($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_fingerprint" -> qDedupFingerprint,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_ann_bruteforce" -> qAnnBruteforce,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_quality" -> qTextQuality,
+    "q_text_langid" -> qTextLangid)
+
+  // Shared oracle fragments
+  private val W =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private def shingleSql(w: String) =
+    s"list_distinct(CASE WHEN len($w) >= 3 THEN " +
+      s"list_transform(range(1, len($w)-1), i -> $w[i]||' '||$w[i+1]||' '||$w[i+2]) " +
+      "ELSE [] END)"
+  private val DotFold =
+    "list_sum(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+  private def dot(a: String, b: String) = DotFold.format(a, b)
+  private def cos(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
+    "q_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint,
+        |  MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |ORDER BY rep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars//100 AS lb, ${shingleSql(W)} AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.lb = b.lb
+         |  AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cos("a.embedding", "b.embedding")} AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cos("a.embedding", "b.embedding")} >= 0.40
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cos("embedding", "qv")} AS cos
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         |    AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |    AS n_bpeish_tokens,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $W AS w,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      AS letters
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |    letters / greatest(CAST(len(w) AS DOUBLE), 1.0) AS avg_word_len,
+         |    CAST(len(list_filter(w, x -> x IN ('the','of','and','to','in','is','that','for','it','on'))) AS DOUBLE)
+         |      / greatest(CAST(len(w) AS DOUBLE), 1.0) AS stopword_ratio,
+         |    letters / greatest(n_chars_d, 1.0) AS alpha_ratio
+         |  FROM t)
+         |SELECT doc_id, n_words, avg_word_len, stopword_ratio, alpha_ratio,
+         |  (stopword_ratio * 0.4) + (alpha_ratio * 0.4) +
+         |    (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+         |      THEN 0.2 ELSE 0.0 END) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $W AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(w, x -> x IN ('the','of','and','to','in','is','that','for','it','on'))) AS c_en,
+         |    len(list_filter(w, x -> x IN ('le','la','les','de','et','un','une','est','dans','pour'))) AS c_fr,
+         |    len(list_filter(w, x -> x IN ('el','los','las','de','y','un','una','es','en','por'))) AS c_es,
+         |    len(list_filter(w, x -> x IN ('der','die','das','und','ein','ist','zu','den','von','mit'))) AS c_de
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'unknown'
+         |    WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+         |    WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+         |    WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+         |    ELSE 'de' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin)
+}

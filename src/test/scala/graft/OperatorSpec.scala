@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+import graft.operators._
+import graft.sources.Sources
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.configure(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: partition-wise stub decode is deterministic and shaped") {
+    import Multimodal._
+    val media = syntheticMedia(spark, 60)
+    val feats1 = extractFeatures(media, new StubDecoder(16), 224, 224, 10).collect()
+    val feats2 = extractFeatures(media, new StubDecoder(16), 224, 224, 10).collect()
+    assert(feats1.length == 60)
+    assert(feats1.map(_.feature.toSeq).toSeq == feats2.map(_.feature.toSeq).toSeq)
+    val video = feats1.find(_.kind == "video").get
+    assert(video.n_sampled_frames == 10 && video.out_width == 224)
+    val img = feats1.find(_.kind == "image").get
+    assert(img.n_sampled_frames == 1 && img.feature.length == 16)
+  }
+
+  test("pipeline: merge is union, collect is global aggregation") {
+    import spark.implicits._
+    val ev = Sources.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+      .as[Event]
+    val p = Pipeline.source("purchases", ev.filter(_.event_type == "purchase"))
+    val v = Pipeline.source("views", ev.filter(_.event_type == "view"))
+    val merged = p.merge(v)
+    assert(merged.ds.count() ==
+      ev.filter(e => e.event_type == "purchase" || e.event_type == "view").count())
+    val globalCount = merged.collect()
+      .aggregate(new GraftAggregation[Event, Long, Long] {
+        val name = "n"
+        def initialAccumulator = 0L
+        def update(in: Event, acc: Long) = acc + 1
+        def combine(a: Long, b: Long) = a + b
+        def output(acc: Long) = acc
+      }).collect()
+    assert(globalCount.toSeq == Seq((0, merged.ds.count())))
+  }
+
+  test("pipeline: file sink round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ev = Sources.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props").as[Event]
+    Pipeline.source("sink_test", ev).toSink(Sink.parquet(s"$dir/out"))
+    assert(spark.read.parquet(s"$dir/out").count() == ev.count())
+  }
+
+  test("minhash-lsh: candidates are verified true near-dups") {
+    import spark.implicits._
+    val docs = Sources.documents(spark, sf)
+      .withColumn("sh", Dedup.wordShingles($"text"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "sh", 64, 16, 0.5).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("windows: unaligned buckets anchor at per-key first event") {
+    import spark.implicits._
+    val ev = Sources.events(spark, sf)
+    val una = Windows.withUnaligned(ev, $"event_type", $"ts", 3600)
+    val firsts = una.groupBy($"event_type")
+      .agg(min(graft.functions.epochS($"ts")).as("first_t"),
+        min($"window_start").as("first_w"))
+      .collect()
+    firsts.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    val ali = Windows.withTumbling(ev, $"ts", 3600)
+    assert(ali.filter($"window_start" % 3600 =!= 0).count() == 0)
+  }
+
+  test("asOf: generic two-table as-of join picks latest preceding value") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("sym", "t")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 12L, 2.0), (2L, 20L, 9.0))
+      .toDF("sym", "t", "px")
+    val joined = AsOfJoin.asOf(trades, quotes, "sym", "t", "px", "last_px")
+      .orderBy($"sym", $"t").collect()
+    assert(joined.map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq ==
+      Seq((1L, 10L, Some(1.0)), (1L, 20L, Some(2.0)), (2L, 15L, None)))
+  }
+}
