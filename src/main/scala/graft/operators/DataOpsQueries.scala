@@ -49,9 +49,12 @@ object DataOpsQueries {
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // native Catalyst expression (one pass/row) — parity with the columnar
+    // Dedup.simhash63 build is asserted in SimHashSpec
+    graft.plans.SimHash64.register(s)
     val docs = Sources.documents(s, dir)
       .withColumn("lb", floor($"n_chars" / 100).cast("long"))
-      .withColumn("sim", Dedup.simhash63($"text"))
+      .withColumn("sim", graft.plans.SimHash64.simhash64(wordTokens($"text")))
     Dedup.simhashPairs(docs, "doc_id", "sim", Seq("lb"), maxHamming = 5)
       .orderBy($"doc_a", $"doc_b")
   }
