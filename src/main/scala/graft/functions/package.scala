@@ -46,16 +46,23 @@ package object functions {
   def normFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
-  /** Cosine similarity between two float-array columns (cast to double,
-    * index-ordered aggregation → deterministic).
+  /** Dot product of two float-array columns (cast to double, index-ordered
+    * left fold → deterministic and DuckDB-`list_sum`-exact).
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    dot / (na * nb)
-  }
+
+  /** Euclidean norm of a float-array column. */
+  def vecNormD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Cosine similarity between two float-array columns. For pairwise
+    * workloads precompute [[vecNormD]] per side once and use
+    * `dotD(a,b) / (na * nb)` — identical doubles, one fold per pair
+    * instead of three.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    dotD(a, b) / (vecNormD(a) * vecNormD(b))
 
   /** Character n-gram shingles of a normalized text column. */
   def charShingles(text: Column, n: Int): Column = {

@@ -17,12 +17,22 @@ import graft.sources.Sources
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct) of a text column. */
+  /** Word n-gram shingles (distinct) of a text column.
+    *
+    * Built as a zip_with chain over shifted slices, NOT per-index
+    * element_at: higher-order array functions are interpreted and inline
+    * their inputs on every reference, so an element_at formulation
+    * re-tokenizes the text O(shingles) times per row; this one references
+    * the token array O(n) times total. zip_with's null padding (the slices
+    * are shorter than the word array) is filtered out at the end.
+    */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val words = wordTokens(text)
-    val sh = transform(sequence(lit(1), size(words) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
-    array_distinct(when(size(words) >= n, sh).otherwise(array()))
+    val joined = (2 to n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), greatest(size(words) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 
   /** Exact-duplicate groups by content hash: one shuffle, representative =
@@ -40,56 +50,98 @@ object Dedup {
     df.groupBy(normFingerprint(textCol).as("fingerprint"))
       .agg(min(idCol).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact Jaccard near-dup pairs, banded: pairs are only formed inside
-    * `band` buckets, so the self-join shuffles on the band key and never
-    * materializes the full cross product.
+  /** Exact Jaccard near-dup pairs via prefix-filtered posting joins (the
+    * AllPairs/SSJoin formulation): shingles are hashed + globally ordered,
+    * only each set's prefix postings enter the candidate self-join (a pair
+    * with J ≥ t must share a prefix element), candidates are
+    * size-ratio-pruned (t·|A| ≤ |B| ≤ |A|/t), and only survivors pay an
+    * exact intersect. Shuffle keys are single shingle hashes — skew-safe
+    * under AQE, never a bucket cross-product.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
       bandCols: Seq[String], threshold: Double): DataFrame = {
-    val a = docs.select((bandCols :+ idCol :+ shingleCol).map(col): _*)
-    val b = a.toDF(a.columns.map(c => if (bandCols.contains(c)) c else s"${c}_b"): _*)
-    val jac = size(array_intersect(col(shingleCol), col(s"${shingleCol}_b"))
-      ).cast("double") / size(array_union(col(shingleCol), col(s"${shingleCol}_b")))
-    a.join(b, bandCols)
+    // the text→shingle→hash chain feeds the posting join AND both verify
+    // sides — persist it once (size ~ corpus ids + hashed shingles)
+    val base = docs.select((bandCols :+ idCol).map(col) :+
+      array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s)))).as("_sh"): _*)
+      .withColumn("_n", size(col("_sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix-filtering (AllPairs): under a global element order, two sets
+    // with J >= t must share an element within their first
+    // n - ceil(t*n) + 1 elements — only prefix postings enter the join
+    val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
+    val posts = base.select(
+      (bandCols.map(col) :+ col(idCol)) :+
+        explode(slice(col("_sh"), lit(1), prefixLen)).as("_h"): _*)
+    val rhs = posts.toDF(posts.columns.map(c =>
+      if (bandCols.contains(c) || c == "_h") c else s"${c}_b"): _*)
+    val candidates = posts.join(rhs, bandCols :+ "_h")
       .filter(col(idCol) < col(s"${idCol}_b"))
-      .withColumn("jaccard", jac)
+      .select(col(idCol), col(s"${idCol}_b"))
+      .distinct()
+    val aSide = base.select(col(idCol), col("_sh"), col("_n"))
+    val bSide = aSide.toDF(s"${idCol}_b", "_sh_b", "_n_b")
+    candidates.join(aSide, idCol).join(bSide, s"${idCol}_b")
+      .filter(col("_n_b") >= col("_n") * threshold &&
+        col("_n") >= col("_n_b") * threshold)
+      .withColumn("_c", size(array_intersect(col("_sh"), col("_sh_b"))))
+      .withColumn("jaccard",
+        col("_c").cast("double") / (col("_n") + col("_n_b") - col("_c")))
       .filter(col("jaccard") >= threshold)
       .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns: sig_i = min over shingles of xxhash64(s, i).
-    * Built as `numHashes` array-min expressions — columnar, no explode.
+  /** One-permutation-hashing MinHash signature (Li et al.): each doc's
+    * hashed shingles are exploded to rows, split into `numHashes` buckets
+    * by hash residue, and sig[i] = MIN(h | h ≡ i) — one hash per shingle
+    * total instead of `numHashes`, as plain codegen'd min-aggregates with
+    * map-side partials. Empty buckets are densified deterministically from
+    * the doc's global min.
     */
-  def withMinhashSignature(df: DataFrame, shingleCol: String, numHashes: Int): DataFrame =
-    (0 until numHashes).foldLeft(df) { (d, i) =>
-      d.withColumn(s"mh_$i",
-        array_min(transform(col(shingleCol), s => xxhash64(s, lit(i)))))
-    }
+  def minhashSignature(hashedRows: DataFrame, idCol: String, hCol: String,
+      numHashes: Int): DataFrame = {
+    val h = col(hCol)
+    val bucket = pmod(h, lit(numHashes))
+    hashedRows.groupBy(col(idCol))
+      .agg(min(when(bucket === 0, h)).as("raw_0"),
+        ((1 until numHashes).map(i =>
+          min(when(bucket === i, h)).as(s"raw_$i")) :+
+          min(h).as("_gmin")): _*)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i =>
+          coalesce(col(s"raw_$i"), col("_gmin") + i).as(s"mh_$i")): _*)
+  }
 
   /** LSH candidate pairs: band the signature, bucket-join on
-    * (band, band_hash), emit verified pairs with exact Jaccard.
+    * (band, band_hash), dedup the bare id pairs, then verify with exact
+    * Jaccard on the hashed shingle sets. Only ids travel through the
+    * band shuffle; arrays are joined back just for the surviving pairs.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val signed = withMinhashSignature(
-      docs.select(col(idCol), col(shingleCol)), shingleCol, numHashes)
+    val hashed = docs.select(col(idCol),
+      array_distinct(transform(col(shingleCol), s => xxhash64(s))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
+    val signed = minhashSignature(hashedRows, idCol, "_h", numHashes)
     val bandHashes = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bh"))
     }
     val banded = signed
       .withColumn("_band", explode(array(bandHashes: _*)))
-      .select(col(idCol), col(shingleCol), col("_band.band"), col("_band.bh"))
-    val other = banded.select(col(idCol).as(s"${idCol}_b"),
-      col(shingleCol).as(s"${shingleCol}_b"), col("band"), col("bh"))
-    val jac = size(array_intersect(col(shingleCol), col(s"${shingleCol}_b"))
-      ).cast("double") / size(array_union(col(shingleCol), col(s"${shingleCol}_b")))
-    banded.join(other, Seq("band", "bh"))
+      .select(col(idCol), col("_band.band"), col("_band.bh"))
+    val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bh"))
+    val pairs = banded.join(other, Seq("band", "bh"))
       .filter(col(idCol) < col(s"${idCol}_b"))
-      .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"),
-        col(shingleCol), col(s"${shingleCol}_b"))
+      .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"))
       .distinct()
+    val jac = size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
+      size(array_union(col("_sh"), col("_sh_b")))
+    pairs
+      .join(hashed.select(col(idCol).as("doc_a"), col("_sh")), "doc_a")
+      .join(hashed.select(col(idCol).as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -124,14 +176,19 @@ object Dedup {
       .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs, banded by a cluster/label column. */
+  /** Embedding-cosine near-dup pairs, banded by a cluster/label column.
+    * Norms are computed once per vector (before the pair fan-out), so each
+    * pair costs a single dot-product fold.
+    */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
       bandCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col(bandCol), col(idCol), col(vecCol))
-    val b = a.toDF(bandCol, s"${idCol}_b", s"${vecCol}_b")
+      .withColumn("_n", vecNormD(col(vecCol)))
+    val b = a.toDF(bandCol, s"${idCol}_b", s"${vecCol}_b", "_n_b")
     a.join(b, bandCol)
       .filter(col(idCol) < col(s"${idCol}_b"))
-      .withColumn("cos", cosineSim(col(vecCol), col(s"${vecCol}_b")))
+      .withColumn("cos",
+        dotD(col(vecCol), col(s"${vecCol}_b")) / (col("_n") * col("_n_b")))
       .filter(col("cos") >= threshold)
       .select(col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"), col("cos"))
   }

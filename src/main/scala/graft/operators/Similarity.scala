@@ -15,15 +15,20 @@ import graft.functions._
   */
 object Similarity {
 
-  /** Brute-force top-k by cosine against one query vector (broadcast). */
+  /** Brute-force top-k by cosine against one query vector (broadcast; the
+    * query norm is folded once on the broadcast side).
+    */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val base = emb.crossJoin(broadcast(query.select(col(queryVecCol).as("_qv"))))
+    val q = query.select(col(queryVecCol).as("_qv"))
+      .withColumn("_qn", vecNormD(col("_qv")))
+    val base = emb.crossJoin(broadcast(q))
     val filtered = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     filtered
-      .withColumn("cos", cosineSim(col(vecCol), col("_qv")))
-      .drop("_qv")
+      .withColumn("cos",
+        dotD(col(vecCol), col("_qv")) / (vecNormD(col(vecCol)) * col("_qn")))
+      .drop("_qv", "_qn")
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
