@@ -43,6 +43,16 @@ final class Pipeline[T](val ds: Dataset[T], val name: String) extends Serializab
   /** File sink (reference `to_sink`). */
   def toSink(sink: Sink): Unit = sink.write(ds.toDF())
 
+  /** Fan out to several sinks (reference `to_sinks`,
+    * application.pony:193). The plan is computed once and persisted so
+    * each sink writes from the same materialized result.
+    */
+  def toSinks(sinks: Seq[Sink]): Unit = {
+    val df = ds.toDF().persist()
+    try sinks.foreach(_.write(df))
+    finally df.unpersist()
+  }
+
   def toDF: org.apache.spark.sql.DataFrame = ds.toDF()
 }
 

@@ -79,6 +79,78 @@ object StatefulWindows {
       }
   }
 
+  case class EphemeralState[Acc](startTs: Long, maxTs: Long,
+      triggered: Boolean, acc: Acc)
+
+  /** Ephemeral (trigger) windows — faithful to the reference
+    * (/root/reference/lib/wallaroo/core/windows/ephemeral_window.pony:66-127):
+    * a key's first event opens a window; `trigger point = open + triggerS`
+    * fires the aggregate once the key's watermark (max event ts − delayS)
+    * passes it; between trigger and `remove point = trigger +
+    * postTriggerS`, late rows follow the policy (Drop or FirePerMessage —
+    * PlaceInOldest is invalid for ephemeral windows, as in the reference);
+    * past the remove point the state expires and the next event opens a
+    * fresh window. Emits (key, windowStartTs, output).
+    */
+  def ephemeralWindows[In, K: Encoder, Acc, Out](
+      ds: Dataset[In], keyFn: In => K, tsSec: In => Long,
+      triggerS: Long, postTriggerS: Long, delayS: Long, policy: LatePolicy,
+      agg: GraftAggregation[In, Acc, Out])(
+      implicit outEnc: Encoder[(K, Long, Out)]): Dataset[(K, Long, Out)] = {
+    require(policy != LatePolicy.PlaceInOldest,
+      "'Place in oldest window' is not a valid late data policy for ephemeral windows")
+    implicit val stateEnc: Encoder[Option[EphemeralState[Acc]]] =
+      Encoders.kryo[Option[EphemeralState[Acc]]]
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Option[EphemeralState[Acc]], (K, Long, Out)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: K, rows: Iterator[In], gs: GroupState[Option[EphemeralState[Acc]]]) =>
+          var st: Option[EphemeralState[Acc]] = gs.getOption.flatten
+          val out = ArrayBuffer.empty[(K, Long, Out)]
+          def tryTrigger(): Unit = st.foreach { s =>
+            if (!s.triggered && s.maxTs - delayS >= s.startTs + triggerS) {
+              out += ((k, s.startTs, agg.output(s.acc)))
+              st = Some(s.copy(triggered = true))
+            }
+          }
+          rows.toSeq.sortBy(tsSec).foreach { in =>
+            val t = tsSec(in)
+            // the incoming event advances the key watermark: if it passes an
+            // open window's remove point, trigger-if-pending then expire
+            // (reference: "arrives after the window was removed → treat as
+            // first message", ephemeral_window.pony:70-74)
+            st.foreach { s =>
+              val wm = math.max(s.maxTs, t) - delayS
+              if (wm >= s.startTs + triggerS + postTriggerS) {
+                if (!s.triggered && wm >= s.startTs + triggerS)
+                  out += ((k, s.startTs, agg.output(s.acc)))
+                st = None
+              }
+            }
+            st match {
+              case None =>
+                st = Some(EphemeralState(t, t, triggered = false,
+                  agg.update(in, agg.initialAccumulator)))
+              case Some(s) if !s.triggered =>
+                st = Some(s.copy(maxTs = math.max(s.maxTs, t),
+                  acc = agg.update(in, s.acc)))
+              case Some(s) => // triggered, in post-trigger phase
+                policy match {
+                  case LatePolicy.Drop => ()
+                  case LatePolicy.FirePerMessage =>
+                    out += ((k, s.startTs,
+                      agg.output(agg.update(in, agg.initialAccumulator))))
+                  case LatePolicy.PlaceInOldest => ()
+                }
+                st = Some(s.copy(maxTs = math.max(s.maxTs, t)))
+            }
+            tryTrigger()
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
   /** Tumbling count windows per key across micro-batches (reference
     * CountWindowsBuilder, windows.pony:105): emit an aggregate every
     * `count` rows; the partial window rides in state between batches.
