@@ -124,13 +124,14 @@ object Dedup {
       array_distinct(transform(col(shingleCol), s => xxhash64(s))).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
-    val signed = minhashSignature(hashedRows, idCol, "_h", numHashes)
-    val bandHashes = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bh"))
-    }
+    // one-pass native signature aggregate (graft.plans.MinHashAgg)
+    graft.plans.MinHashAgg.register(docs.sparkSession, numHashes)
+    val signed = hashedRows.groupBy(col(idCol))
+      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
     val banded = signed
-      .withColumn("_band", explode(array(bandHashes: _*)))
+      .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("_sig"), b * rows + 1, lit(rows)), b).as("bh")))))
       .select(col(idCol), col("_band.band"), col("_band.bh"))
     val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bh"))
     val pairs = banded.join(other, Seq("band", "bh"))

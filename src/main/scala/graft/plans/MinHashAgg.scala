@@ -1,0 +1,89 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass one-permutation-hashing MinHash signature as a native
+  * `TypedImperativeAggregate`: the buffer is the signature itself
+  * (`numHashes` bucket minima over the input hash column), updated in a
+  * tight loop, merged elementwise — map-side partial signatures combine
+  * before the shuffle exactly like any algebraic aggregate. Replaces the
+  * `numHashes`-separate-min-aggregates formulation with one buffer and
+  * one pass (semantics identical to [[graft.operators.Dedup.minhashSignature]]:
+  * bucket = pmod(h, numHashes), empty buckets densified as gmin + i).
+  */
+case class MinHashAgg(child: Expression, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val b = ((h % numHashes) + numHashes).toInt % numHashes
+      if (h < buf(b)) buf(b) = h
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var gmin = Long.MaxValue
+    var i = 0
+    while (i < numHashes) { if (buf(i) < gmin) gmin = buf(i); i += 1 }
+    val out = new Array[Long](numHashes)
+    i = 0
+    while (i < numHashes) {
+      out(i) = if (buf(i) == Long.MaxValue) gmin + i else buf(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinHashAgg =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashAgg {
+  /** Register `minhash_sig(hashCol)` with a fixed signature width. */
+  def register(spark: SparkSession, numHashes: Int = 64): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashAgg(exprs.head, numHashes).toAggregateExpression(),
+      "built-in")
+
+  def minhashSig(hashCol: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig", hashCol)
+}

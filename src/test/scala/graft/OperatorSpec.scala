@@ -65,6 +65,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("native MinHashAgg equals the multi-column OPH signature") {
+    import spark.implicits._
+    val rows = Sources.documents(spark, sf)
+      .withColumn("sh", Dedup.wordShingles($"text"))
+      .select($"doc_id", explode(array_distinct(transform($"sh", s => xxhash64(s)))).as("_h"))
+    graft.plans.MinHashAgg.register(spark, 16)
+    val native = rows.groupBy($"doc_id")
+      .agg(graft.plans.MinHashAgg.minhashSig($"_h").as("sig"))
+    val columnar = Dedup.minhashSignature(rows, "doc_id", "_h", 16)
+      .select($"doc_id", array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig2"))
+    val joined = native.join(columnar, "doc_id")
+    assert(joined.filter($"sig" =!= $"sig2").count() == 0)
+    assert(joined.count() == 500)
+  }
+
   test("windows: unaligned buckets anchor at per-key first event") {
     import spark.implicits._
     val ev = Sources.events(spark, sf)
