@@ -200,7 +200,75 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Semi-structured processing: JSON path extraction from the events
+    * props column, then relational ops over the extracted value.
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), xsum($"value").as("total"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_bucket")
+  }
+
+  /** CUBE over two dimensions with grouping() labels. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), xsum($"o_totalprice").as("total"),
+        grouping($"o_orderstatus").as("g1"), grouping($"o_orderpriority").as("g2"))
+      .select(
+        when($"g1" === 1, "ALL").otherwise($"o_orderstatus").as("status"),
+        when($"g2" === 1, "ALL").otherwise($"o_orderpriority").as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** lag/lead window functions: per-user deltas and next event type. */
+  def qLagLead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Sources.events(s, dir)
+      .withColumn("prev_delta", $"value" - lag($"value", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"event_id" % 50 === 0)
+      .select($"user_id", $"event_id", $"prev_delta", $"next_type")
+      .orderBy($"event_id")
+  }
+
+  /** Interpolated percentiles (exact `percentile`, matching DuckDB
+    * quantile_cont's linear interpolation).
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.events(s, dir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Sketch aggregate: HLL++ approximate distinct vs exact (rows-only —
+    * sketch internals are engine-specific).
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.events(s, dir).agg(
+      approx_count_distinct($"user_id").as("approx_users"),
+      countDistinct($"user_id").as("exact_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_json_extract" -> qJsonExtract,
+    "q_cube" -> qCube,
+    "q_lag_lead" -> qLagLead,
+    "q_percentile" -> qPercentile,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_min_subquery" -> qMinSubquery,
     "q_exists_lagged" -> qExistsLagged,
     "q_top_customers" -> qTopCustomers,
@@ -218,6 +286,29 @@ object Analytics {
   private def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(27,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n, ${dsum("value")} AS total,
+         |  MIN(k) AS min_k, MAX(k) AS max_k
+         |FROM (SELECT CAST(props->>'k' AS BIGINT) AS k, value FROM events)
+         |GROUP BY k % 10 ORDER BY k_bucket""".stripMargin,
+    "q_cube" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+         |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT user_id, event_id, prev_delta, next_type FROM (
+        |  SELECT user_id, event_id,
+        |    value - LAG(value, 1) OVER w AS prev_delta,
+        |    LEAD(event_type, 1) OVER w AS next_type
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |WHERE event_id % 50 = 0 ORDER BY event_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_min_subquery" ->
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
