@@ -113,7 +113,21 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end dedup: MinHash-LSH pairs → connected components → corpus
+    * with one representative per cluster (rows-only: cluster internals
+    * aren't ANSI-expressible without recursive CTE parity).
+    */
+  def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.dedupedCorpus(Sources.documents(s, dir), "doc_id", pairs)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,

@@ -177,6 +177,48 @@ object Dedup {
       .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs via iterative min-label
+    * propagation: every doc starts as its own label; each round joins the
+    * (undirected) pair edges and takes the min neighbor label; stops at
+    * fixpoint. Dup clusters are tiny (usually 2-3 docs), so this
+    * converges in ~log(cluster diameter) rounds — each round is one
+    * shuffle join, no driver-side graph.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels // (id, label) where label = min doc id of the component
+  }
+
+  /** The end-use of the dedup family: remove every non-representative
+    * member of each near-dup cluster, keeping the min-id doc.
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs).filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, banded by a cluster/label column.
     * Norms are computed once per vector (before the pair fan-out), so each
     * pair costs a single dot-product fold.

@@ -65,6 +65,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("dedup corpus: one representative (min id) kept per dup cluster") {
+    import spark.implicits._
+    val docs = Sources.documents(spark, sf)
+      .withColumn("sh", Dedup.wordShingles($"text"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "sh", 64, 16, 0.5)
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty)
+    val kept = Dedup.dedupedCorpus(Sources.documents(spark, sf), "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    // every pair: the min side survives, and at least one side is dropped
+    pairRows.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)))
+      assert(kept.contains(math.min(a, b)) || !kept.contains(math.max(a, b)))
+    }
+    val total = Sources.documents(spark, sf).count()
+    assert(kept.size < total && kept.size >= total - 2L * pairRows.length)
+  }
+
   test("native MinHashAgg equals the multi-column OPH signature") {
     import spark.implicits._
     val rows = Sources.documents(spark, sf)

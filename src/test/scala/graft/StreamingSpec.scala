@@ -136,6 +136,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming/batch parity: tumbling windows over the events table") {
+    import spark.implicits._
+    // batch answer from the oracle-gated query
+    val batch = graft.operators.WindowQueries
+      .qTumbling(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // same computation as a file stream (complete mode, single batch)
+    val stream = spark.readStream.schema(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val windowed = graft.operators.Windows.withTumbling(stream, $"ts", 3600)
+      .groupBy($"event_type", $"window_start")
+      .agg(count(lit(1)).as("n_events"))
+    val q = windowed.writeStream.format("memory").queryName("parity_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("parity_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming: gen source produces rows") {
     val df = StreamOps.genSource(spark, 100)
     assert(df.isStreaming)
