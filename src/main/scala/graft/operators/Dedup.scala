@@ -202,8 +202,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+      // the fixpoint probe is itself a join+action — skip it for the first
+      // two rounds (any cluster of diameter ≤ 2 has already converged)
+      converged = i >= 2 && updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = updated
       i += 1
     }
