@@ -46,6 +46,20 @@ package object functions {
   def normFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Portable 60-bit hash: the first 15 hex digits of md5, as a
+    * non-negative bigint. Both engines compute it bit-identically
+    * (Spark `conv(substr(md5(x),1,15),16,10)` ⇄ DuckDB
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), which makes the whole
+    * MinHash/SimHash/LSH chain oracle-checkable. xxhash64 stays the
+    * fast path where no oracle needs to reproduce the hash.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB SQL form of [[portableHash64]] for oracle queries. */
+  def portableHash64Sql(expr: String): String =
+    s"CAST('0x'||substr(md5($expr),1,15) AS BIGINT)"
+
   /** Dot product of two float-array columns (cast to double, index-ordered
     * left fold → deterministic and DuckDB-`list_sum`-exact).
     */

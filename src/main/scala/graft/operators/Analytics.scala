@@ -253,14 +253,18 @@ object Analytics {
       .orderBy($"event_type")
   }
 
-  /** Sketch aggregate: HLL++ approximate distinct vs exact (rows-only —
-    * sketch internals are engine-specific).
+  /** Sketch aggregate: HLL++ approximate distinct, oracled as the exact
+    * count plus a bounded-relative-error check (sketch internals are
+    * engine-specific; the CONTRACT — estimate within rsd bounds of the
+    * truth — is what's gated).
     */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val exact = countDistinct($"user_id")
+    val approx = approx_count_distinct($"user_id", rsd = 0.01)
     Sources.events(s, dir).agg(
-      approx_count_distinct($"user_id").as("approx_users"),
-      countDistinct($"user_id").as("exact_users"))
+      exact.as("exact_users"),
+      (abs(approx - exact).cast("double") / exact <= 0.05).as("approx_ok"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -286,6 +290,9 @@ object Analytics {
   private def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(27,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events""".stripMargin,
     "q_json_extract" ->
       s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n, ${dsum("value")} AS total,
          |  MIN(k) AS min_k, MAX(k) AS max_k

@@ -42,19 +42,22 @@ object DataOpsQueries {
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // portableHash64 shingle hashing → the whole OPH/LSH chain is
+    // reproduced hash-for-hash by the DuckDB oracle
     Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5)
+      numHashes = 64, bands = 16, threshold = 0.5, hashFn = portableHash64)
       .orderBy($"doc_a", $"doc_b")
   }
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // native Catalyst expression (one pass/row) — parity with the columnar
-    // Dedup.simhash63 build is asserted in SimHashSpec
-    graft.plans.SimHash64.register(s)
+    // native Catalyst expression (one pass/row, codegen'd) over
+    // portable-hashed tokens — the oracle recomputes the exact signature
+    graft.plans.SimHashBits.register(s, bits = 60)
     val docs = Sources.documents(s, dir)
       .withColumn("lb", floor($"n_chars" / 100).cast("long"))
-      .withColumn("sim", graft.plans.SimHash64.simhash64(wordTokens($"text")))
+      .withColumn("sim", graft.plans.SimHashBits.simhashBits(
+        transform(wordTokens($"text"), t => portableHash64(t))))
     Dedup.simhashPairs(docs, "doc_id", "sim", Seq("lb"), maxHamming = 5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -114,13 +117,13 @@ object DataOpsQueries {
   }
 
   /** End-to-end dedup: MinHash-LSH pairs → connected components → corpus
-    * with one representative per cluster (rows-only: cluster internals
-    * aren't ANSI-expressible without recursive CTE parity).
+    * with one representative per cluster. Oracle: the same portable-hash
+    * LSH chain + a DuckDB `WITH RECURSIVE` min-label closure.
     */
   def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5)
+      numHashes = 64, bands = 16, threshold = 0.5, hashFn = portableHash64)
     Dedup.dedupedCorpus(Sources.documents(s, dir), "doc_id", pairs)
       .select($"doc_id", $"lang", $"n_chars")
       .orderBy($"doc_id")
@@ -143,6 +146,39 @@ object DataOpsQueries {
   // Shared oracle fragments
   private val W =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  /** DuckDB twin of [[graft.functions.portableHash64]]. */
+  private def md(e: String) = s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
+  /** Portable-hash OPH MinHash + LSH chain (the DuckDB twin of
+    * [[Dedup.minhashLshPairs]] with hashFn=portableHash64): CTEs ending in
+    * `mh_pairs(doc_a, doc_b, jaccard)`. 64 hashes, 16 bands of 4 rows,
+    * threshold 0.5 — matching `q_dedup_minhash`/`q_dedup_corpus`.
+    */
+  private def minhashChainSql(w: String): String =
+    s"""hashed AS (
+       |  SELECT doc_id, list_distinct(list_transform(${shingleSql(w)}, s -> ${md("s")})) AS hs
+       |  FROM documents),
+       |ne AS (SELECT doc_id, hs FROM hashed WHERE len(hs) > 0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      coalesce(list_min(list_filter(hs, h -> h % 64 = i)),
+       |               list_min(hs) + i)) AS sg
+       |  FROM ne),
+       |banded AS (
+       |  SELECT doc_id, t.bb, list_slice(sg, CAST(t.bb*4+1 AS BIGINT), CAST(t.bb*4+4 AS BIGINT)) AS bk
+       |  FROM sig CROSS JOIN range(0, 16) t(bb)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.bb = b.bb AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id),
+       |mh_pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
+       |  FROM cand c JOIN ne x ON c.doc_a = x.doc_id
+       |    JOIN ne y ON c.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.5)""".stripMargin
   private def shingleSql(w: String) =
     s"list_distinct(CASE WHEN len($w) >= 3 THEN " +
       s"list_transform(range(1, len($w)-1), i -> $w[i]||' '||$w[i+1]||' '||$w[i+2]) " +
@@ -154,6 +190,56 @@ object DataOpsQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH ${minhashChainSql(W)}
+         |SELECT doc_a, doc_b, jaccard FROM mh_pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE ${minhashChainSql(W)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(id, n) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.n = e.src),
+         |lbl AS (SELECT id, MIN(n) AS label FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars//100 AS lb,
+         |    list_transform($W, w -> ${md("w")}) AS hs
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, lb,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+         |  FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg b ON a.lb = b.lb AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |fan AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |asg AS (SELECT vec_id, embedding, cid AS bucket FROM fan WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid AS bucket FROM c CROSS JOIN q
+         |  ORDER BY ${cos("cvec", "qv")} DESC, cid LIMIT 3)
+         |SELECT a.vec_id, a.bucket, ${cos("a.embedding", "qv")} AS cos
+         |FROM asg a JOIN probe USING (bucket) CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id,
         |  COUNT(*) AS n_copies

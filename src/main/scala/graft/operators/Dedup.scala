@@ -66,6 +66,13 @@ object Dedup {
       array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s)))).as("_sh"): _*)
       .withColumn("_n", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try jaccardPairsOn(base, idCol, bandCols, threshold)
+      .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
+    finally base.unpersist()
+  }
+
+  private def jaccardPairsOn(base: DataFrame, idCol: String,
+      bandCols: Seq[String], threshold: Double): DataFrame = {
     // prefix-filtering (AllPairs): under a global element order, two sets
     // with J >= t must share an element within their first
     // n - ceil(t*n) + 1 elements — only prefix postings enter the join
@@ -113,54 +120,72 @@ object Dedup {
   }
 
   /** LSH candidate pairs: band the signature, bucket-join on
-    * (band, band_hash), dedup the bare id pairs, then verify with exact
-    * Jaccard on the hashed shingle sets. Only ids travel through the
-    * band shuffle; arrays are joined back just for the surviving pairs.
+    * (band, band-slice), dedup the bare id pairs, then verify with exact
+    * Jaccard on the hashed shingle sets. Only ids + band slices travel
+    * through the band shuffle; shingle arrays are joined back just for the
+    * surviving pairs.
+    *
+    * `hashFn` defaults to xxhash64 (fast path); pass
+    * [[graft.functions.portableHash64]] to make the full chain
+    * reproducible in an ANSI-SQL oracle (band buckets are compared as raw
+    * signature slices, not engine-private hashes, so candidate sets are
+    * provably identical across engines).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val rows = numHashes / bands
     val hashed = docs.select(col(idCol),
-      array_distinct(transform(col(shingleCol), s => xxhash64(s))).as("_sh"))
+      array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
-    // one-pass native signature aggregate (graft.plans.MinHashAgg)
-    graft.plans.MinHashAgg.register(docs.sparkSession, numHashes)
-    val signed = hashedRows.groupBy(col(idCol))
-      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
-    val banded = signed
-      .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("_sig"), b * rows + 1, lit(rows)), b).as("bh")))))
-      .select(col(idCol), col("_band.band"), col("_band.bh"))
-    val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bh"))
-    val pairs = banded.join(other, Seq("band", "bh"))
-      .filter(col(idCol) < col(s"${idCol}_b"))
-      .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"))
-      .distinct()
-    val jac = size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
-      size(array_union(col("_sh"), col("_sh_b")))
-    pairs
-      .join(hashed.select(col(idCol).as("doc_a"), col("_sh")), "doc_a")
-      .join(hashed.select(col(idCol).as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    try {
+      val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
+      // one-pass native signature aggregate (graft.plans.MinHashAgg)
+      graft.plans.MinHashAgg.register(docs.sparkSession, numHashes)
+      val signed = hashedRows.groupBy(col(idCol))
+        .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
+      val banded = signed
+        .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            slice(col("_sig"), b * rows + 1, lit(rows)).as("bk")))))
+        .select(col(idCol), col("_band.band"), col("_band.bk"))
+      val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
+      val pairs = banded.join(other, Seq("band", "bk"))
+        .filter(col(idCol) < col(s"${idCol}_b"))
+        .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"))
+        .distinct()
+      val jac = size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
+        size(array_union(col("_sh"), col("_sh_b")))
+      pairs
+        .join(hashed.select(col(idCol).as("doc_a"), col("_sh")), "doc_a")
+        .join(hashed.select(col(idCol).as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint(true) // pairs ≪ corpus; frees the shingle cache
+    } finally hashed.unpersist()
+  }
+
+  /** Columnar SimHash over a pre-hashed token column: majority vote on the
+    * low `bits` bits, one sign-sum expression per bit. Reference semantics
+    * for [[graft.plans.SimHashBits]] (which does the same in one codegen'd
+    * pass); kept columnar here for parity tests and SQL-expressibility.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val bs = (0 until bits).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }
+    bs.reduce(_ + _)
   }
 
   /** 63-bit SimHash over word tokens (bit 63 left clear so the signature
     * stays a non-negative long). Columnar: 63 sign-sum expressions over the
     * token-hash array.
     */
-  def simhash63(text: Column): Column = {
-    val hashes = transform(wordTokens(text), t => xxhash64(t))
-    val bits = (0 until 63).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << b)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash63(text: Column): Column =
+    simhashFromHashes(transform(wordTokens(text), t => xxhash64(t)), 63)
 
   /** SimHash near-dup pairs within a band (same length bucket), Hamming
     * distance ≤ `maxHamming` via xor + bit_count.
@@ -177,37 +202,53 @@ object Dedup {
       .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"), col("hamming"))
   }
 
-  /** Connected components over near-dup pairs via iterative min-label
-    * propagation: every doc starts as its own label; each round joins the
-    * (undirected) pair edges and takes the min neighbor label; stops at
-    * fixpoint. Dup clusters are tiny (usually 2-3 docs), so this
-    * converges in ~log(cluster diameter) rounds — each round is one
-    * shuffle join, no driver-side graph.
+  /** Connected components over near-dup pairs: min-label propagation with
+    * pointer jumping, iterated to a TRUE fixpoint.
+    *
+    * Each round does (a) neighbor-min propagation (label(v) ← min over v
+    * and its neighbors' labels) and (b) pointer jumping (label(v) ←
+    * label(label(v))). Propagation alone needs O(diameter) rounds; the
+    * jumping step halves label-chain depth every round, so convergence is
+    * O(log diameter) — a 2^20-link chain closes in ~20 rounds, and no
+    * silent cap can leave a cluster half-merged (`maxIters` is a safety
+    * valve that THROWS instead of truncating). Every round is
+    * `localCheckpoint`ed: lineage stays O(1) and the fixpoint probe reads
+    * materialized partitions instead of replaying the whole LSH chain.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged) {
+      if (i >= maxIters)
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIters rounds — " +
+            "component diameter exceeds 2^" + maxIters)
+      // (a) neighbor-min propagation
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the fixpoint probe is itself a join+action — skip it for the first
-      // two rounds (any cluster of diameter ≤ 2 has already converged)
-      converged = i >= 2 && updated
+      // (b) pointer jumping: follow the label one hop (labels only ever
+      // decrease, so label(label(v)) ≤ label(v) — least() is implicit)
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
+          col("a.label") === col("pid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("plabel"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      converged = updated
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = updated
       i += 1
     }

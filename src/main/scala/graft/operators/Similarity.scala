@@ -33,21 +33,38 @@ object Similarity {
       .limit(k)
   }
 
-  /** Assign each vector to its nearest centroid (by cosine). Centroids are
-    * broadcast; assignment is a rank-1 window over the small fan-out.
+  /** Assign each vector to its nearest centroid (by cosine) with ZERO
+    * shuffle: the K centroids (K ≪ n) are collected once and folded as a
+    * literal array inside a single projection — an argmax per row, no
+    * crossJoin fan-out, no exchange. Strict `>` in the fold keeps the
+    * lowest centroid id on ties, i.e. `ORDER BY cos DESC, cid ASC`.
     */
   def assignIvf(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fan = emb.crossJoin(broadcast(centroids.select(
-      col(centroidIdCol).as("_cid"), col(centroidVecCol).as("_cv"))))
-      .withColumn("_ccos", cosineSim(col(vecCol), col("_cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_ccos").desc, col("_cid"))
-    fan.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_cv", "_ccos", "_rn")
-      .withColumnRenamed("_cid", "bucket")
+    val cents = centroids
+      .select(col(centroidIdCol).cast("long"), col(centroidVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignIvf: no centroids")
+    val cArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("cv"))
+    }: _*)
+    val best = aggregate(cArr,
+      struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
+      (acc, c) => {
+        val cs = cosineSim(col(vecCol), c.getField("cv"))
+        when(cs > acc.getField("cos"),
+          struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
+      })
+    emb.withColumn("bucket", best.getField("cid"))
   }
+
+  /** 100 TB layout: persist the IVF assignment partitioned by bucket so a
+    * probe prunes at the source (only `nprobe` of K directories are read).
+    */
+  def writeBucketed(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are closest
     * to the query vector, then brute-force inside them.

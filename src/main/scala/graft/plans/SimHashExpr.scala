@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,10 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * composition (xxhash64(token, seed=42), majority vote per bit, bits
   * 0..62), but one tight imperative pass per row instead of 63 array
   * traversals — the (b) tier of the custom-operator preference order
-  * (compose built-ins < custom Expression < custom plan).
+  * (compose built-ins < custom Expression < custom plan). Participates in
+  * whole-stage codegen via [[doGenCode]].
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
@@ -56,6 +56,33 @@ case class SimHash64(child: Expression)
     java.lang.Long.valueOf(sig)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int[] $votes = new int[63];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    UTF8String $s = $arr.getUTF8String($i);
+         |    long $h = $xxh.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $b = 0; $b < 63; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 63; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
@@ -73,4 +100,89 @@ object SimHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+}
+
+/** SimHash over a PRE-HASHED token column (array<bigint>), majority vote on
+  * the low `bits` bits. Splitting the hash out of the expression makes the
+  * signature hash-function-agnostic: feed it
+  * [[graft.functions.portableHash64]] tokens and the whole SimHash chain is
+  * reproducible in an ANSI-SQL oracle (see `q_dedup_simhash`), feed it
+  * xxhash64 for the fast path. One tight pass per row, codegen'd.
+  */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits < 64, s"bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits requires array<bigint>, got ${child.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $arr.getLong($i);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_bits"
+}
+
+object SimHashBits {
+  /** Column entry point (registry-routed, like [[SimHash64.simhash64]]). */
+  def simhashBits(hashes: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash_bits", hashes)
+
+  /** Register `simhash_bits` with a fixed bit width. */
+  def register(spark: SparkSession, bits: Int = 60): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits(exprs.head, bits), "built-in")
 }
