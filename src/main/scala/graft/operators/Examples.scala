@@ -24,6 +24,14 @@ case class UserStats(n: Long, cents: Long, maxv: Double)
 object Examples {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Half-away-from-zero rounding, matching SQL `round()` on every sign
+    * (`math.round` is floor(x+0.5): -2.5 → -2 there but -3 in SQL).
+    * DuckDB's `//` truncates toward zero like Scala long division, so the
+    * boundary checks below stay plain `/`.
+    */
+  private def roundHalfAway(x: Double): Long =
+    math.round(math.abs(x)) * (if (x < 0) -1L else 1L)
+
   private def eventsDs(s: SparkSession, dir: String): Dataset[Event] = {
     import s.implicits._
     Sources.events(s, dir)
@@ -92,7 +100,7 @@ object Examples {
       val name = "user_stats"
       def initialAccumulator = UserStats(0L, 0L, Double.NegativeInfinity)
       def update(e: Event, a: UserStats) =
-        UserStats(a.n + 1, a.cents + math.round(e.value * 100), math.max(a.maxv, e.value))
+        UserStats(a.n + 1, a.cents + roundHalfAway(e.value * 100), math.max(a.maxv, e.value))
       def combine(a: UserStats, b: UserStats) =
         UserStats(a.n + b.n, a.cents + b.cents, math.max(a.maxv, b.maxv))
       def output(a: UserStats) = (a.n, a.cents / 100.0, a.maxv)
@@ -129,7 +137,7 @@ object Examples {
       val name = "running_total_alert"
       def initialState = 0L
       def apply(e: Event, cum: Long) = {
-        val next = cum + math.round(e.value * 100)
+        val next = cum + roundHalfAway(e.value * 100)
         val out = if (next / 100000L > cum / 100000L)
           Iterator.single((e.user_id, e.event_id, next / 100.0))
         else Iterator.empty

@@ -41,12 +41,19 @@ object Windows {
   /** Unaligned range windows: buckets anchored at each key's first event
     * (reference `RangeWindowsBuilder.unaligned`,
     * windows.pony:47 `_align_windows = false`).
+    *
+    * The per-key anchor is a tiny groupBy (one row per key) broadcast back
+    * — NOT `min().over(partitionBy(key))`, which forces every row of a key
+    * onto one task and dies on low-cardinality/skewed keys at scale.
     */
   def withUnaligned(df: DataFrame, key: Column, ts: Column, rangeS: Long,
       as: String = "window_start"): DataFrame = {
     val t = epochS(ts)
-    val first = min(t).over(Window.partitionBy(key))
-    df.withColumn(as, first + ((t - first) / rangeS).cast("long") * rangeS)
+    val firsts = df.groupBy(key.as("_ua_key")).agg(min(t).as("_ua_first"))
+    df.join(broadcast(firsts), key === col("_ua_key"))
+      .withColumn(as,
+        col("_ua_first") + ((t - col("_ua_first")) / rangeS).cast("long") * rangeS)
+      .drop("_ua_key", "_ua_first")
   }
 
   /** Tumbling count windows per key in `order`
@@ -75,10 +82,13 @@ object Windows {
 
   /** Late-data policy `drop` in batch form: the watermark is each key's max
     * event time minus `delayS` (reference `with_delay` + LateDataPolicy.drop);
-    * rows older than the watermark are discarded.
+    * rows older than the watermark are discarded. Per-key max via
+    * groupBy + broadcast join back (skew-safe), not an unbounded window.
     */
   def dropLate(df: DataFrame, key: Column, ts: Column, delayS: Long): DataFrame = {
-    val wm = max(epochS(ts)).over(Window.partitionBy(key)) - delayS
-    df.withColumn("_wm", wm).filter(epochS(ts) >= col("_wm")).drop("_wm")
+    val maxes = df.groupBy(key.as("_dl_key")).agg(max(epochS(ts)).as("_dl_max"))
+    df.join(broadcast(maxes), key === col("_dl_key"))
+      .filter(epochS(ts) >= col("_dl_max") - delayS)
+      .drop("_dl_key", "_dl_max")
   }
 }

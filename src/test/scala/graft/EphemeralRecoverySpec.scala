@@ -28,7 +28,7 @@ class EphemeralRecoverySpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Reading]
     val out = StatefulWindows.ephemeralWindows(in.toDS(), (_: Reading).key,
-      (_: Reading).t, triggerS = 10L, postTriggerS = 10L, delayS = 0L,
+      (_: Reading).t, "t", triggerS = 10L, postTriggerS = 10L, delayS = 0L,
       LatePolicy.FirePerMessage, sumAgg)
     val q = out.toDF("key", "wstart", "total").writeStream
       .format("memory").queryName("ew_out").outputMode("append").start()
@@ -56,6 +56,29 @@ class EphemeralRecoverySpec extends AnyFunSuite {
     q.processAllAvailable()
     val all = spark.table("ew_out").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(all.contains((40L, 6L))) // 5 + 1 (t=55 joins before trigger check)
+    q.stop()
+  }
+
+  test("ephemeral windows: quiet key triggers on global watermark advance") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val B = 1700000000L
+    val in = MemoryStream[Reading]
+    val out = StatefulWindows.ephemeralWindows(in.toDS(), (_: Reading).key,
+      (_: Reading).t, "t", triggerS = 10L, postTriggerS = 10L, delayS = 0L,
+      LatePolicy.Drop, sumAgg, admitLateS = 60L)
+    val q = out.toDF("key", "wstart", "total").writeStream
+      .format("memory").queryName("ew_quiet").outputMode("append").start()
+    // key q fires once and goes silent; key a advances the query watermark
+    in.addData(Reading("q", B + 1, 5), Reading("a", B + 1, 1))
+    q.processAllAvailable()
+    in.addData(Reading("a", B + 100, 1))
+    q.processAllAvailable()
+    in.addData(Reading("a", B + 101, 1)) // extra batch lets timeouts run
+    q.processAllAvailable()
+    val rows = spark.table("ew_quiet").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.contains(("q", B + 1, 5L)), rows.toString)
     q.stop()
   }
 

@@ -98,6 +98,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(joined.count() == 500)
   }
 
+  test("windows: unaligned/late-drop use broadcast per-key extrema, not a skewed window") {
+    import spark.implicits._
+    val ev = Sources.events(spark, sf)
+    for (df <- Seq(Windows.withUnaligned(ev, $"event_type", $"ts", 3600),
+                   Windows.dropLate(ev, $"event_type", $"ts", 600))) {
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("Window"), plan.take(2000))
+    }
+  }
+
   test("windows: unaligned buckets anchor at per-key first event") {
     import spark.implicits._
     val ev = Sources.events(spark, sf)
