@@ -40,6 +40,36 @@ final class Pipeline[T](val ds: Dataset[T], val name: String) extends Serializab
   /** Parallelism hint (reference per-stage `parallelism`). */
   def parallelism(n: Int): Pipeline[T] = new Pipeline(ds.repartition(n), name)
 
+  /** Partition-local key_by + aggregate (reference `local_key_by`,
+    * application.pony:247, with the `local_routing` flag): a per-partition
+    * grouped fold with NO shuffle — emits one partial (key, output) per key
+    * per partition where it already sits. The scale use is two-phase
+    * aggregation: localKeyBy to collapse per-partition volume, then a keyed
+    * global merge over the (much smaller) partials.
+    */
+  def localKeyBy[K, Acc, Out](f: T => K, a: GraftAggregation[T, Acc, Out])(
+      implicit tupEnc: Encoder[(K, Out)]): Pipeline[(K, Out)] =
+    new Pipeline(ds.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[K, Acc]
+      it.foreach { t =>
+        val k = f(t)
+        m.update(k, a.update(t, m.getOrElse(k, a.initialAccumulator)))
+      }
+      m.iterator.map { case (k, acc) => (k, a.output(acc)) }
+    }, name)
+
+  /** Partition-local collect (reference `local_collect`,
+    * application.pony:256): fold each partition to a single output, no
+    * shuffle; empty partitions emit nothing.
+    */
+  def localCollect[Acc, Out](a: GraftAggregation[T, Acc, Out])(
+      implicit outEnc: Encoder[Out]): Pipeline[Out] =
+    new Pipeline(ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator.single(
+        a.output(it.foldLeft(a.initialAccumulator)((acc, t) => a.update(t, acc))))
+    }, name)
+
   /** File sink (reference `to_sink`). */
   def toSink(sink: Sink): Unit = sink.write(ds.toDF())
 
@@ -59,6 +89,13 @@ final class Pipeline[T](val ds: Dataset[T], val name: String) extends Serializab
 object Pipeline {
   /** Entry stage (reference `Wallaroo.source`). */
   def source[T](name: String, ds: Dataset[T]): Pipeline[T] = new Pipeline(ds, name)
+
+  /** Entry stage from a pluggable streaming-source config (reference
+    * `Wallaroo.source(name, TCPSourceConfig/KafkaSourceConfig/...)`).
+    */
+  def source(spark: org.apache.spark.sql.SparkSession,
+      config: graft.sources.StreamSource): Pipeline[org.apache.spark.sql.Row] =
+    new Pipeline(config.load(spark), config.name)
 
   /** GraftAggregation ⇄ Spark Aggregator adapter (same algebra). */
   def asAggregator[In, Acc, Out](a: GraftAggregation[In, Acc, Out])(

@@ -267,7 +267,22 @@ object Analytics {
       (abs(approx - exact).cast("double") / exact <= 0.05).as("approx_ok"))
   }
 
+  /** Native mergeable HLL sketch ([[graft.plans.HllSketchAgg]]) gated like
+    * [[qApproxDistinct]]: exact count + a bounded-relative-error contract
+    * (the sketch itself is partitioning-invariant — see HllSketchSpec).
+    */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.HllSketchAgg.register(s)
+    val exact = countDistinct($"user_id")
+    val est = graft.plans.HllSketchAgg.hllDistinct($"user_id")
+    Sources.events(s, dir).agg(
+      exact.as("exact_users"),
+      (abs(est - exact).cast("double") / exact <= 0.05).as("hll_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hll_distinct" -> qHllDistinct,
     "q_json_extract" -> qJsonExtract,
     "q_cube" -> qCube,
     "q_lag_lead" -> qLagLead,
@@ -292,6 +307,9 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q_approx_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events""".stripMargin,
+    "q_hll_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events""".stripMargin,
     "q_json_extract" ->
       s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n, ${dsum("value")} AS total,
