@@ -215,7 +215,17 @@ object Dedup {
     * `localCheckpoint`ed: lineage stays O(1) and the fixpoint probe reads
     * materialized partitions instead of replaying the whole LSH chain.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 64,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
+    // Size-based strategy: near-dup pair sets are tiny relative to the
+    // corpus (pairs ≪ docs even at 100 TB — they're the output of LSH
+    // banding + verification). Below `driverMaxEdges` edges, union-find on
+    // the driver is exact and costs one collect instead of 2×rounds shuffle
+    // jobs; above it, the O(log diameter) distributed loop takes over.
+    val longIds = pairs.schema.take(2).forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && pairs.count() <= driverMaxEdges)
+      return driverUnionFind(pairs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -229,30 +239,53 @@ object Dedup {
         throw new IllegalStateException(
           s"dupClusters did not converge in $maxIters rounds — " +
             "component diameter exceeds 2^" + maxIters)
-      // (a) neighbor-min propagation
+      // (a) neighbor-min propagation (carrying the pre-round label as `old`
+      // so the fixpoint probe is a filter on materialized data, not a join)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // (b) pointer jumping: follow the label one hop (labels only ever
       // decrease, so label(label(v)) ≤ label(v) — least() is implicit)
       val updated = propagated.as("a")
         .join(propagated.select(col("id").as("pid"), col("label").as("plabel")),
           col("a.label") === col("pid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a.old").as("old"),
           coalesce(col("plabel"), col("a.label")).as("label"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("old")).isEmpty
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     labels // (id, label) where label = min doc id of the component
+  }
+
+  /** Exact min-label components via union-find (path compression + attach
+    * -larger-root-under-smaller, so every root IS its component's min id).
+    */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+    pairs.sparkSession.createDataFrame(labels).toDF("id", "label")
   }
 
   /** The end-use of the dedup family: remove every non-representative

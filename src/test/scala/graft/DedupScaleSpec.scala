@@ -18,23 +18,26 @@ class DedupScaleSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
   val sf = "/root/testdata/sf0.001"
 
-  test("dupClusters: diameter-39 chain converges to one min-label cluster") {
+  test("dupClusters: diameter-39 chain converges on both CC paths") {
     import spark.implicits._
     // 0-1-2-...-39 plus a separate 100-101 pair and an isolated-free corpus
     val chain = Seq.tabulate(39)(i => (i.toLong, i + 1L))
     val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
-    val labels = Dedup.dupClusters(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    (0L to 39L).foreach(i => assert(labels(i) == 0L, s"node $i"))
-    assert(labels(100L) == 100L && labels(101L) == 100L)
-    assert(labels.size == 42)
+    // driverMaxEdges default → driver union-find; 0 → distributed loop
+    for (threshold <- Seq(4000000L, 0L)) {
+      val labels = Dedup.dupClusters(pairs, driverMaxEdges = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (0L to 39L).foreach(i => assert(labels(i) == 0L, s"node $i @ $threshold"))
+      assert(labels(100L) == 100L && labels(101L) == 100L)
+      assert(labels.size == 42)
+    }
   }
 
-  test("dupClusters: maxIters throws instead of silently truncating") {
+  test("dupClusters: distributed path maxIters throws instead of silently truncating") {
     import spark.implicits._
     val pairs = Seq.tabulate(20)(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      Dedup.dupClusters(pairs, maxIters = 1)
+      Dedup.dupClusters(pairs, maxIters = 1, driverMaxEdges = 0L)
     }
   }
 
