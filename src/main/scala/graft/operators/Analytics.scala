@@ -281,7 +281,59 @@ object Analytics {
       (abs(est - exact).cast("double") / exact <= 0.05).as("hll_ok"))
   }
 
+  /** GROUPING SETS beyond rollup/cube: an explicit, non-hierarchical set
+    * list ((status, priority), (status), ()) with grouping() disambiguation.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), xsum($"o_totalprice").as("total"),
+        grouping($"o_orderstatus").as("g1"), grouping($"o_orderpriority").as("g2"))
+      .select(
+        when($"g1" === 1, "ALL").otherwise($"o_orderstatus").as("status"),
+        when($"g2" === 1, "ALL").otherwise($"o_orderpriority").as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Correlated-average predicate (TPC-H Q17 shape): lineitems whose
+    * quantity is below half their part's average. The comparison is
+    * decimal-exact on both engines: `q*2*cnt < exact_sum` instead of
+    * `q < 0.5*AVG(q)` (built-in AVG on doubles is merge-order-dependent).
+    */
+  def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Sources.lineitem(s, dir)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("cnt"), xsum($"l_quantity").as("sq"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity" * 2.0 * $"cnt" < $"sq")
+      .agg((xsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Relational division: customers with orders in EVERY priority class
+    * (the "for all" quantifier via distinct-count equality).
+    */
+  def qDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Sources.orders(s, dir)
+    val nPrio = orders.select($"o_orderpriority").distinct().count()
+    orders.groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .filter($"n_prio" === nPrio)
+      .select($"o_custkey", $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> qGroupingSets,
+    "q_small_qty_revenue" -> qSmallQtyRevenue,
+    "q_division" -> qDivision,
     "q_hll_distinct" -> qHllDistinct,
     "q_json_extract" -> qJsonExtract,
     "q_cube" -> qCube,
@@ -311,6 +363,29 @@ object Analytics {
     "q_hll_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,
+         |  CASE WHEN GROUPING(o_orderpriority)=1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+         |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY status, priority""".stripMargin,
+    "q_small_qty_revenue" ->
+      s"""WITH p AS (
+         |  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+         |    ${dsum("l_quantity")} AS sq
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT ${dsum("l_extendedprice")}/7.0 AS avg_yearly, COUNT(*) AS n_small
+         |FROM lineitem l JOIN p ON l.l_partkey = p.pk
+         |WHERE l.l_quantity * 2.0 * p.cnt < p.sq""".stripMargin,
+    "q_division" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderpriority) =
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
     "q_json_extract" ->
       s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n, ${dsum("value")} AS total,
          |  MIN(k) AS min_k, MAX(k) AS max_k

@@ -129,7 +129,22 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4) —
+    * summarized per doc; the oracle replays the identical portable-hash
+    * selection with a SQL window min.
+    */
+  def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.winnowFingerprints(Sources.documents(s, dir), "doc_id", "text",
+      k = 8, w = 4, hashFn = portableHash64)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"fp").as("n_fps"),
+        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
@@ -190,6 +205,30 @@ object DataOpsQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "q_fingerprint_winnow" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS norm
+         |  FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, norm, greatest(length(norm) - 7, 0) AS ng FROM base),
+         |gi AS (
+         |  SELECT doc_id, ng, norm,
+         |    unnest(range(1, CAST(greatest(ng + 1, 1) AS BIGINT))) AS i
+         |  FROM b2),
+         |grams AS (
+         |  SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
+         |    ${md("substr(norm, CAST(i AS INT), 8)")} AS h
+         |  FROM gi),
+         |sel AS (
+         |  SELECT doc_id, ng, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM grams)
+         |SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
+         |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+         |FROM sel WHERE i <= ng - 3
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH ${minhashChainSql(W)}
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs

@@ -297,6 +297,37 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., the MOSS
+    * rolling-hash scheme): hash every character k-gram of the normalized
+    * text, then keep the minimum hash of each complete window of `w`
+    * consecutive k-grams — a content-defined selection of ~n/w
+    * representative hashes per document that is robust to insertions.
+    *
+    * Shape: explode to (doc, gram-index) rows and take a sliding-frame
+    * window min — everything stays in whole-stage codegen (one hash per
+    * gram, no higher-order array lambdas to inline), and the only shuffle
+    * is the per-doc window partition. Returns (idCol, fp) rows, one per
+    * distinct selected fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, hashFn: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")
+    val base = docs.select(col(idCol), norm.as("_norm"))
+      .withColumn("_ng", greatest(length(col("_norm")) - (k - 1), lit(0)))
+    val grams = base
+      .withColumn("_i", explode(when(col("_ng") >= 1,
+        sequence(lit(1), col("_ng"))).otherwise(array())))
+      .select(col(idCol), col("_ng"), col("_i"),
+        hashFn(col("_norm").substr(col("_i"), lit(k))).as("_h"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("_fp", min(col("_h")).over(frame))
+      .filter(col("_i") <= col("_ng") - (w - 1)) // complete windows only
+      .select(col(idCol), col("_fp").as("fp"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup pairs, banded by a cluster/label column.
     * Norms are computed once per vector (before the pair fan-out), so each
     * pair costs a single dot-product fold.

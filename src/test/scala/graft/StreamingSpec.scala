@@ -160,6 +160,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming/batch parity: stateful alerts over the events table") {
+    import spark.implicits._
+    val alerts = new StateComputation[Event, Long, (Long, Long, Double)] {
+      val name = "running_total_alert"
+      def initialState = 0L
+      private def roundHalfAway(x: Double): Long =
+        math.round(math.abs(x)) * (if (x < 0) -1L else 1L)
+      def apply(e: Event, cum: Long) = {
+        val next = cum + roundHalfAway(e.value * 100)
+        val out = if (next / 100000L > cum / 100000L)
+          Iterator.single((e.user_id, e.event_id, next / 100.0))
+        else Iterator.empty
+        (next, out)
+      }
+    }
+    val batch = graft.operators.Examples.qAlertsStateful(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = spark.readStream.schema(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+      .as[Event]
+    val out = StreamOps.computeKeyedState(stream, (_: Event).user_id,
+      (_: Event).event_id, alerts).toDF("user_id", "event_id", "total")
+    val q = out.writeStream.format("memory").queryName("alert_parity")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("alert_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming: gen source produces rows") {
     val df = StreamOps.genSource(spark, 100)
     assert(df.isStreaming)
