@@ -14,13 +14,6 @@ import graft.sources.Sources
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def withShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Sources.documents(s, dir)
-      .withColumn("lb", floor($"n_chars" / 100).cast("long"))
-      .withColumn("sh", Dedup.wordShingles($"text"))
-  }
-
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.exactGroups(Sources.documents(s, dir), $"doc_id", $"text")
@@ -35,29 +28,41 @@ object DataOpsQueries {
 
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.jaccardPairs(withShingles(s, dir), "doc_id", "sh",
-      Seq("lang", "lb"), 0.5)
+    val docs = withHashedShingles(s, dir)
+      .withColumn("lb", floor($"n_chars" / 100).cast("long"))
+    Dedup.jaccardPairs(docs, "doc_id", "sh", Seq("lang", "lb"), 0.5,
+      preHashed = true)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Native one-pass portable shingle hashing (tokenize→3-gram→md5-60bit
+    * in graft.plans.ShingleHashes) — the DuckDB oracle reproduces the
+    * chain hash-for-hash in SQL.
+    */
+  private def withHashedShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.ShingleHashes.register(s, n = 3)
+    Sources.documents(s, dir)
+      .withColumn("sh", graft.plans.ShingleHashes.shingleHashes($"text"))
   }
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // portableHash64 shingle hashing → the whole OPH/LSH chain is
-    // reproduced hash-for-hash by the DuckDB oracle
-    Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5, hashFn = portableHash64)
+    Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
       .orderBy($"doc_a", $"doc_b")
   }
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // native Catalyst expression (one pass/row, codegen'd) over
-    // portable-hashed tokens — the oracle recomputes the exact signature
+    // two native passes (token_hashes → simhash_bits), no interpreted
+    // lambdas — the oracle recomputes the exact signature from the text
     graft.plans.SimHashBits.register(s, bits = 60)
+    graft.plans.ShingleHashes.registerTokenHashes(s)
     val docs = Sources.documents(s, dir)
       .withColumn("lb", floor($"n_chars" / 100).cast("long"))
       .withColumn("sim", graft.plans.SimHashBits.simhashBits(
-        transform(wordTokens($"text"), t => portableHash64(t))))
+        graft.plans.ShingleHashes.tokenHashes($"text")))
     Dedup.simhashPairs(docs, "doc_id", "sim", Seq("lb"), maxHamming = 5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -66,6 +71,13 @@ object DataOpsQueries {
     import s.implicits._
     Dedup.embeddingPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
       "label", 0.40)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def qDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingLshPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
+      bands = 8, rows = 8, threshold = 0.40)
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -122,8 +134,8 @@ object DataOpsQueries {
     */
   def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.minhashLshPairs(withShingles(s, dir), "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5, hashFn = portableHash64)
+    val pairs = Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
     Dedup.dedupedCorpus(Sources.documents(s, dir), "doc_id", pairs)
       .select($"doc_id", $"lang", $"n_chars")
       .orderBy($"doc_id")
@@ -152,6 +164,7 @@ object DataOpsQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_ivf" -> qAnnIvf,
     "q_text_tokens" -> qTextTokens,
@@ -203,6 +216,18 @@ object DataOpsQueries {
   private def dot(a: String, b: String) = DotFold.format(a, b)
   private def cos(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  /** DuckDB twin of the sign-random-projection band keys: the ±1
+    * hyperplane constants come from the SAME [[Dedup.hyperplanes]] bank
+    * (±1 literals round-trip exactly), so both engines bucket identically.
+    */
+  private def hpBandKeySql(vec: String, band: Int, rows: Int): String =
+    (0 until rows).map { r =>
+      val lit = Dedup.hyperplanes(band * rows + r)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val d = s"list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($vec[i] AS DOUBLE) * ($lit)[i]))"
+      s"(CASE WHEN $d > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q_fingerprint_winnow" ->
@@ -301,6 +326,26 @@ object DataOpsQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${(0 until 8).map(b => s"${hpBandKeySql("embedding", b, 8)} AS bk$b")
+                .mkString(",\n    ")}
+         |  FROM embeddings),
+         |br AS (
+         |  ${(0 until 8).map(b =>
+                s"SELECT vec_id, $b AS band, bk$b AS bk FROM sig")
+                .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM br a JOIN br b ON a.band = b.band AND a.bk = b.bk
+         |    AND a.vec_id < b.vec_id)
+         |SELECT c.va AS vec_a, c.vb AS vec_b,
+         |  ${cos("x.embedding", "y.embedding")} AS cos
+         |FROM cand c JOIN embeddings x ON c.va = x.vec_id
+         |  JOIN embeddings y ON c.vb = y.vec_id
+         |WHERE ${cos("x.embedding", "y.embedding")} >= 0.40
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

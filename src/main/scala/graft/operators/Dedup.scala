@@ -59,11 +59,15 @@ object Dedup {
     * under AQE, never a bucket cross-product.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
-      bandCols: Seq[String], threshold: Double): DataFrame = {
+      bandCols: Seq[String], threshold: Double,
+      preHashed: Boolean = false): DataFrame = {
     // the text→shingle→hash chain feeds the posting join AND both verify
-    // sides — persist it once (size ~ corpus ids + hashed shingles)
-    val base = docs.select((bandCols :+ idCol).map(col) :+
-      array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s)))).as("_sh"): _*)
+    // sides — persist it once (size ~ corpus ids + hashed shingles).
+    // preHashed: shingleCol is already a distinct array<bigint>.
+    val sh =
+      if (preHashed) array_sort(col(shingleCol))
+      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+    val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
       .withColumn("_n", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try jaccardPairsOn(base, idCol, bandCols, threshold)
@@ -133,10 +137,14 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, bands: Int, threshold: Double,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      hashFn: Column => Column = xxhash64(_),
+      preHashed: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val hashed = docs.select(col(idCol),
-      array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh"))
+    // preHashed: shingleCol is already a distinct array<bigint> (e.g. the
+    // native graft.plans.ShingleHashes one-pass form)
+    val hashed = (if (preHashed) docs.select(col(idCol), col(shingleCol).as("_sh"))
+      else docs.select(col(idCol),
+        array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
@@ -328,19 +336,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Deterministic ±1 (Rademacher) hyperplane bank for sign-random-
+    * projection LSH — shared by [[embeddingLshPairs]] and its SQL oracle
+    * generator, so both engines compute bit-identical bucket keys (±1
+    * entries round-trip exactly through SQL literals; Gaussian floats
+    * would risk parse drift).
+    */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(64)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH (Charikar): the
+    * signature bit for hyperplane h is sign(v·h); `bands` bands of `rows`
+    * bits each bucket the vectors, candidates share a band bucket, and
+    * only candidates pay the exact-cosine verify. This is the 100 TB path
+    * for embedding dedup — no low-cardinality band column (a popular
+    * label/length bucket is O(bucket²)), bucket population is driven by
+    * the data distribution itself, and the shuffle keys are (band, key)
+    * ints.
+    */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    require(bands * rows <= hyperplanes.length, "not enough hyperplanes")
+    graft.plans.SignProjKeys.register(emb.sparkSession,
+      hyperplanes.take(bands * rows), rows)
+    val base = emb.select(col(idCol), col(vecCol))
+      .withColumn("_n", vecNormD(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // all band keys in one native pass (graft.plans.SignProjKeys) —
+      // bands×rows interpreted dot-folds would dominate the query
+      val banded = base
+        .select(col(idCol), posexplode(
+          graft.plans.SignProjKeys.signProjKeys(col(vecCol))))
+        .toDF(idCol, "band", "bk")
+      val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
+      val pairs = banded.join(other, Seq("band", "bk"))
+        .filter(col(idCol) < col(s"${idCol}_b"))
+        .select(col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"))
+        .distinct()
+      // native one-pass cosine for the verify: bit-identical to the
+      // dotD/norm formulation (same sequential folds), ~20× cheaper
+      graft.plans.VecCosine.register(emb.sparkSession)
+      pairs
+        .join(base.select(col(idCol).as("vec_a"), col(vecCol)), "vec_a")
+        .join(base.select(col(idCol).as("vec_b"), col(vecCol).as("_v_b")), "vec_b")
+        .withColumn("cos", graft.plans.VecCosine.cosine(col(vecCol), col("_v_b")))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
   /** Embedding-cosine near-dup pairs, banded by a cluster/label column.
     * Norms are computed once per vector (before the pair fan-out), so each
     * pair costs a single dot-product fold.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
       bandCol: String, threshold: Double): DataFrame = {
+    graft.plans.VecCosine.register(emb.sparkSession)
     val a = emb.select(col(bandCol), col(idCol), col(vecCol))
-      .withColumn("_n", vecNormD(col(vecCol)))
-    val b = a.toDF(bandCol, s"${idCol}_b", s"${vecCol}_b", "_n_b")
+    val b = a.toDF(bandCol, s"${idCol}_b", s"${vecCol}_b")
     a.join(b, bandCol)
       .filter(col(idCol) < col(s"${idCol}_b"))
       .withColumn("cos",
-        dotD(col(vecCol), col(s"${vecCol}_b")) / (col("_n") * col("_n_b")))
+        graft.plans.VecCosine.cosine(col(vecCol), col(s"${vecCol}_b")))
       .filter(col("cos") >= threshold)
       .select(col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"), col("cos"))
   }

@@ -21,14 +21,13 @@ object Similarity {
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       excludeId: Option[Long] = None): DataFrame = {
+    graft.plans.VecCosine.register(emb.sparkSession)
     val q = query.select(col(queryVecCol).as("_qv"))
-      .withColumn("_qn", vecNormD(col("_qv")))
     val base = emb.crossJoin(broadcast(q))
     val filtered = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     filtered
-      .withColumn("cos",
-        dotD(col(vecCol), col("_qv")) / (vecNormD(col(vecCol)) * col("_qn")))
-      .drop("_qv", "_qn")
+      .withColumn("cos", graft.plans.VecCosine.cosine(col(vecCol), col("_qv")))
+      .drop("_qv")
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -50,10 +49,11 @@ object Similarity {
     val cArr = array(cents.map { case (cid, v) =>
       struct(lit(cid).as("cid"), typedLit(v).as("cv"))
     }: _*)
+    graft.plans.VecCosine.register(emb.sparkSession)
     val best = aggregate(cArr,
       struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
       (acc, c) => {
-        val cs = cosineSim(col(vecCol), c.getField("cv"))
+        val cs = graft.plans.VecCosine.cosine(col(vecCol), c.getField("cv"))
         when(cs > acc.getField("cos"),
           struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
       })
@@ -73,9 +73,10 @@ object Similarity {
       centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
       query: DataFrame, queryVecCol: String, k: Int, nprobe: Int,
       excludeId: Option[Long] = None): DataFrame = {
+    graft.plans.VecCosine.register(assigned.sparkSession)
     val probeBuckets = centroids
       .crossJoin(broadcast(query.select(col(queryVecCol).as("_qv"))))
-      .withColumn("_ccos", cosineSim(col(centroidVecCol), col("_qv")))
+      .withColumn("_ccos", graft.plans.VecCosine.cosine(col(centroidVecCol), col("_qv")))
       .orderBy(col("_ccos").desc, col(centroidIdCol))
       .limit(nprobe)
       .select(col(centroidIdCol).as("bucket"))

@@ -41,6 +41,18 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes native expression equals the composed shingle+hash chain") {
+    import spark.implicits._
+    graft.plans.ShingleHashes.register(spark, n = 3)
+    val docs = Sources.documents(spark, sf)
+      .withColumn("native",
+        array_sort(graft.plans.ShingleHashes.shingleHashes($"text")))
+      .withColumn("composed", array_sort(array_distinct(
+        transform(Dedup.wordShingles($"text"), s => portableHash64(s)))))
+    assert(docs.filter($"native" =!= $"composed").count() == 0)
+    assert(docs.count() == 500)
+  }
+
   test("SimHashBits native expression equals the columnar portable build") {
     import spark.implicits._
     graft.plans.SimHashBits.register(spark, bits = 60)
