@@ -188,6 +188,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming/batch parity: session windows over the events table") {
+    import spark.implicits._
+    import graft.functions.epochS
+    // semantics alignment: batch withSessions splits on diff > gap while
+    // session_window splits on diff >= gap, and epochS truncates to
+    // seconds — so batch uses gap 3599 on truncated seconds and the
+    // stream gets second-truncated timestamps with gap 3600
+    val ev = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Windows
+      .withSessions(ev, $"user_id", epochS($"ts"), $"ts", 3599)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n"), min(epochS($"ts")).as("start_s"))
+      .select($"user_id", $"start_s", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = spark.readStream.schema(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts2", timestamp_seconds(epochS($"ts")))
+    val sessioned = stream
+      .groupBy($"user_id", session_window($"ts2", "3600 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id",
+        unix_timestamp($"session_window.start").as("start_s"), $"n")
+    val q = sessioned.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("sess_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming/batch parity: stateful alerts over the events table") {
     import spark.implicits._
     val alerts = new StateComputation[Event, Long, (Long, Long, Double)] {
