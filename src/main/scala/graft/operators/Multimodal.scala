@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * so codec state is initialized once per partition, not per row (the
   * Scala analogue of arrow-batched `mapInPandas` UDFs).
   *
-  * The actual codecs are STUBBED (`StubDecoder`) — this container has no
-  * image/audio libraries — but the Spark-side contract is real and tested:
-  * schema, encoders, per-partition batching, and deterministic outputs.
-  * Swap [[MediaDecoder]] with a JNI/ffmpeg-backed implementation in
-  * production; nothing else changes.
+  * Two decoder implementations ship:
+  *  - [[JdkDecoder]] — REAL decode using only the JDK: PNG/BMP/JPEG via
+  *    `javax.imageio`, WAV-PCM via `javax.sound.sampled`, and
+  *    frame-sampled "video" as a length-prefixed PNG frame container
+  *    (the JDK has no video codec; the container walk + per-frame decode
+  *    + stride sampling is the real pipeline shape).
+  *  - [[StubDecoder]] — deterministic byte-projection stand-in for codecs
+  *    the JVM lacks (H.264 etc.); swap in a JNI/ffmpeg-backed
+  *    [[MediaDecoder]] in production and nothing else changes.
   */
 object Multimodal {
 
@@ -49,6 +53,90 @@ object Multimodal {
     }
   }
 
+  /** Real decode with JDK-only codecs. Features: `grid`×`grid` mean
+    * luminance cells of the (nearest-neighbor target-resampled) image, or
+    * per-bucket RMS energy for audio; video averages the sampled frames'
+    * image features.
+    */
+  class JdkDecoder(grid: Int = 4) extends MediaDecoder {
+    def open(): Unit = () // ImageIO/AudioSystem are stateless; real codecs init here
+
+    private def imageFeature(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      val f = new Array[Float](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      var y = 0
+      while (y < targetH) {
+        val sy = y * img.getHeight / targetH
+        var x = 0
+        while (x < targetW) {
+          val sx = x * img.getWidth / targetW
+          val rgb = img.getRGB(sx, sy)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3f * 255f)
+          val cell = (y * grid / targetH) * grid + (x * grid / targetW)
+          f(cell) += lum; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < f.length) { if (counts(i) > 0) f(i) /= counts(i); i += 1 }
+      f
+    }
+
+    private def audioFeature(bytes: Array[Byte]): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      in.close()
+      val nSamples = pcm.length / 2 // 16-bit mono PCM
+      val dim = grid * grid
+      val f = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < nSamples) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        val s = ((hi << 8) | lo).toShort / 32768f
+        val bucket = if (nSamples == 0) 0 else math.min(i * dim / nSamples, dim - 1)
+        f(bucket) += s * s; counts(bucket) += 1
+        i += 1
+      }
+      i = 0
+      while (i < dim) {
+        if (counts(i) > 0) f(i) = math.sqrt(f(i) / counts(i)).toFloat
+        i += 1
+      }
+      f
+    }
+
+    def decode(m: Media, targetW: Int, targetH: Int, frameStride: Int): MediaFeatures =
+      m.kind match {
+        case "image" =>
+          MediaFeatures(m.media_id, m.kind, imageFeature(m.bytes, targetW, targetH),
+            targetW, targetH, 1)
+        case "audio" =>
+          MediaFeatures(m.media_id, m.kind, audioFeature(m.bytes), 0, 0, 1)
+        case "video" =>
+          // length-prefixed PNG frame container; decode every strideth frame
+          val bb = java.nio.ByteBuffer.wrap(m.bytes)
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          while (bb.remaining() >= 4) {
+            val len = bb.getInt
+            val frame = new Array[Byte](len)
+            bb.get(frame)
+            frames += frame
+          }
+          val sampled = frames.indices.by(frameStride).map(i =>
+            imageFeature(frames(i), targetW, targetH))
+          val f = new Array[Float](grid * grid)
+          sampled.foreach(s => (0 until f.length).foreach(i => f(i) += s(i)))
+          if (sampled.nonEmpty) (0 until f.length).foreach(i => f(i) /= sampled.size)
+          MediaFeatures(m.media_id, m.kind, f, targetW, targetH, sampled.size)
+      }
+  }
+
   implicit val mediaEnc: Encoder[Media] = Encoders.product[Media]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
@@ -72,5 +160,54 @@ object Multimodal {
       val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(j => ((id * 31 + j * 7) % 251).toByte)
       Media(id, kind, bytes, 640, 480, 16000, 100)
     }
+  }
+
+  /** REAL deterministic media bytes, JDK-encodable end-to-end: PNG images,
+    * 16-bit mono WAV audio, and a length-prefixed PNG frame container for
+    * video. Pixel/sample content is a pure function of (id, position).
+    */
+  def syntheticRealMedia(spark: SparkSession, n: Int): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      (id % 3) match {
+        case 0 =>
+          Media(id, "image", pngBytes(id, 32, 24), 32, 24, 0, 1)
+        case 1 =>
+          Media(id, "audio", wavBytes(id, 800), 0, 0, 8000, 0)
+        case _ =>
+          val frames = (0 until 6).map(f => pngBytes(id * 101 + f, 16, 12))
+          val bb = java.nio.ByteBuffer.allocate(frames.map(_.length + 4).sum)
+          frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+          Media(id, "video", bb.array(), 16, 12, 0, 6)
+      }
+    }
+  }
+
+  private def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def wavBytes(seed: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = (((seed * 17 + i * 11) % 2001) - 1000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 }

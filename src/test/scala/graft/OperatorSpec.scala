@@ -26,6 +26,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(img.n_sampled_frames == 1 && img.feature.length == 16)
   }
 
+  test("multimodal: JDK decoder really decodes PNG/WAV and frame-samples video") {
+    import Multimodal._
+    val media = syntheticRealMedia(spark, 30)
+    val feats = extractFeatures(media, new JdkDecoder(4), 16, 12, 2).collect()
+    assert(feats.length == 30)
+    val img = feats.find(_.kind == "image").get
+    assert(img.feature.length == 16 && img.feature.forall(v => v >= 0f && v <= 1f))
+    assert(feats.find(_.kind == "video").get.n_sampled_frames == 3) // 6 frames / stride 2
+    assert(feats.find(_.kind == "audio").get.feature.exists(_ > 0f))
+    // ground truth: an all-white PNG must decode to luminance 1.0 per cell
+    val bi = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) bi.setRGB(x, y, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    val white = new JdkDecoder(2).decode(
+      Media(999L, "image", out.toByteArray, 8, 8, 0, 1), 8, 8, 1)
+    assert(white.feature.forall(v => math.abs(v - 1.0f) < 1e-6))
+  }
+
   test("pipeline: merge is union, collect is global aggregation") {
     import spark.implicits._
     val ev = Sources.events(spark, sf)
