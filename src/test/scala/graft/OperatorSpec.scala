@@ -143,6 +143,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(ali.filter($"window_start" % 3600 =!= 0).count() == 0)
   }
 
+  test("skew: salted join and salted aggregate equal their unsalted forms") {
+    import spark.implicits._
+    val big = Sources.events(spark, sf)
+      .select($"event_id", $"event_type", $"value") // event_type is skewed
+    val small = Sources.events(spark, sf)
+      .select($"event_type").distinct()
+      .withColumn("tag", concat(lit("t_"), $"event_type"))
+    val plain = big.join(small, Seq("event_type"))
+      .agg(count(lit(1)), graft.functions.xsum($"value")).head
+    val salted = Skew.saltedJoin(big, small, Seq("event_type"), $"event_id", 8)
+      .agg(count(lit(1)), graft.functions.xsum($"value")).head
+    assert(plain == salted)
+    val aggPlain = big.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), graft.functions.xsum($"value").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // partials stay decimal so the two-phase sum associates exactly
+    val aggSalted = Skew.saltedAggregate(big, Seq("event_type"), $"event_id", 8,
+      partials = Seq(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(27,6)")).as("pt")),
+      merges = Seq(sum($"pn").as("n"),
+        sum($"pt").cast("double").as("total")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(aggSalted == aggPlain)
+  }
+
   test("asOf: generic two-table as-of join picks latest preceding value") {
     import spark.implicits._
     val trades = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("sym", "t")
