@@ -330,7 +330,31 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Volume shipping between two nations by year (TPC-H Q7 shape): a
+    * 6-table join with a disjunctive cross-nation predicate, year
+    * extraction, and decimal-exact revenue.
+    */
+  def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Sources.nation(s, dir).select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+    val n2 = Sources.nation(s, dir).select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))
+    Sources.lineitem(s, dir)
+      .join(Sources.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Sources.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Sources.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"snk")
+      .join(broadcast(n2), $"c_nationkey" === $"cnk")
+      .filter(($"supp_nation" === "FRANCE" && $"cust_nation" === "GERMANY") ||
+        ($"supp_nation" === "GERMANY" && $"cust_nation" === "FRANCE"))
+      .withColumn("l_year", year($"l_shipdate").cast("long"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(xsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_volume_shipping" -> qVolumeShipping,
     "q_grouping_sets" -> qGroupingSets,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
     "q_division" -> qDivision,
@@ -363,6 +387,21 @@ object Analytics {
     "q_hll_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events""".stripMargin,
+    "q_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+         |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+         |GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT
          |  CASE WHEN GROUPING(o_orderstatus)=1 THEN 'ALL' ELSE o_orderstatus END AS status,

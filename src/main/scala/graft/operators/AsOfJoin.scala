@@ -24,6 +24,22 @@ object AsOfJoin {
     df.withColumn(as, last(col, ignoreNulls = true).over(w))
   }
 
+  /** As-of with staleness tolerance: the carried value is only visible
+    * while it is at most `toleranceS` behind the current row's `order`
+    * (the reference market_spread pattern of rejecting stale quotes).
+    * Emits both the carried value column `as` and nulls it when stale.
+    */
+  def lastNonNullWithin(df: DataFrame, key: Column, ts: Column, tie: Column,
+      valueCol: Column, toleranceS: Long, as: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_lv", last(valueCol, ignoreNulls = true).over(w))
+      .withColumn("_lo",
+        last(when(valueCol.isNotNull, ts), ignoreNulls = true).over(w))
+      .withColumn(as, when(ts - col("_lo") <= toleranceS, col("_lv")))
+      .drop("_lv", "_lo")
+  }
+
   /** Classic two-table as-of: for each left row, the latest right row with
     * rightOrd <= leftOrd on the same key. Implemented by unioning the two
     * sides (tagged) and carrying right values forward — one shuffle total,

@@ -166,6 +166,22 @@ object Examples {
       .orderBy($"event_id")
   }
 
+  /** As-of with staleness tolerance (market_spread's stale-quote check):
+    * a purchase only sees the prior view value if it is at most an hour
+    * older, else null.
+    */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        epochS($"ts").as("ts_s"))
+    AsOfJoin.lastNonNullWithin(ev, $"user_id", $"ts_s", $"event_id",
+      when($"event_type" === "view", $"value"), 3600L, "fresh_view_value")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"fresh_view_value")
+      .orderBy($"event_id")
+  }
+
   /** collect: global (keyless) aggregation over the whole stream
     * (reference Pipeline.collect, application.pony:250).
     */
@@ -200,10 +216,28 @@ object Examples {
     "q_alerts_stateless" -> qAlertsStateless,
     "q_alerts_stateful" -> qAlertsStateful,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_collect_global" -> qCollectGlobal,
     "q_global_window_last" -> qGlobalWindowLast)
 
   val oracles: Map[String, String] = Map(
+    "q_asof_tolerance" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        |  FROM events),
+        |c AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER w AS lv,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN ts_s END IGNORE NULLS)
+        |      OVER w AS lts
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN ts_s - lts <= 3600 THEN lv END AS fresh_view_value
+        |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_passthrough" ->
       """SELECT event_id, user_id, event_type, value, props FROM events
         |ORDER BY event_id""".stripMargin,
