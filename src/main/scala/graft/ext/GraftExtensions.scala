@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
 
+    // whole-operator tier: the sort-merge as-of join planner strategy
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+
     inject("simhash64", "simhash64(array<string>) - 63-bit SimHash of tokens") {
       e => SimHash64(e.head)
     }
