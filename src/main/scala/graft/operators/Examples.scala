@@ -166,6 +166,24 @@ object Examples {
       .orderBy($"event_id")
   }
 
+  /** The same market_spread as-of, but driven through the CUSTOM physical
+    * operator ([[graft.plans.AsOfJoinExec]]: LogicalPlan + Strategy +
+    * sort-merge exec) — putting the whole-operator tier under the DuckDB
+    * correctness gate.
+    */
+  def qAsofExec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id", $"value")
+    graft.plans.AsOfJoinExec.asOf(purchases, views,
+      "user_id", "event_id", "value", "last_view_value")
+      .select($"event_id", $"user_id", $"value", $"last_view_value")
+      .orderBy($"event_id")
+  }
+
   /** As-of with staleness tolerance (market_spread's stale-quote check):
     * a purchase only sees the prior view value if it is at most an hour
     * older, else null.
@@ -216,11 +234,20 @@ object Examples {
     "q_alerts_stateless" -> qAlertsStateless,
     "q_alerts_stateful" -> qAlertsStateful,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_exec" -> qAsofExec,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_collect_global" -> qCollectGlobal,
     "q_global_window_last" -> qGlobalWindowLast)
 
   val oracles: Map[String, String] = Map(
+    "q_asof_exec" ->
+      """SELECT event_id, user_id, value, last_view_value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_asof_tolerance" ->
       """WITH b AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -121,8 +121,13 @@ object AsOfJoinExec {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // self-join safety: left and right may share attribute ids (both
+    // derived from one source); re-alias the right side so every right
+    // attribute gets a fresh exprId before the binary node is built
+    val rightFresh = right.select(
+      right.columns.map(c => right(c).as(c)).toIndexedSeq: _*)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
