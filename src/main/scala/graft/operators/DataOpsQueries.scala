@@ -155,7 +155,25 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing near-dup pairs (the MOSS overlap report): docs sharing at
+    * least 5 selected fingerprints, ranked by overlap count. A posting
+    * join on the fingerprint — never a doc×doc product.
+    */
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = Dedup.winnowFingerprints(Sources.documents(s, dir), "doc_id",
+      "text", k = 8, w = 4, hashFn = portableHash64)
+    val other = fps.toDF("doc_id_b", "fp")
+    fps.join(other, "fp")
+      .filter($"doc_id" < $"doc_id_b")
+      .groupBy($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_winnow_pairs" -> qWinnowPairs,
     "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_exact" -> qDedupExact,
@@ -229,31 +247,45 @@ object DataOpsQueries {
       s"(CASE WHEN $d > 0 THEN ${1 << r} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Winnowing CTE chain (k=8, w=4, portable hash), ending in
+    * `wfps(doc_id, fp)` — distinct selected fingerprints per doc.
+    */
+  private def winnowChainSql: String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS norm
+       |  FROM documents),
+       |b2 AS (
+       |  SELECT doc_id, norm, greatest(length(norm) - 7, 0) AS ng FROM base),
+       |gi AS (
+       |  SELECT doc_id, ng, norm,
+       |    unnest(range(1, CAST(greatest(ng + 1, 1) AS BIGINT))) AS i
+       |  FROM b2),
+       |grams AS (
+       |  SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
+       |    ${md("substr(norm, CAST(i AS INT), 8)")} AS h
+       |  FROM gi),
+       |sel AS (
+       |  SELECT doc_id, ng, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM grams),
+       |wfps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= ng - 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_fingerprint_winnow" ->
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS norm
-         |  FROM documents),
-         |b2 AS (
-         |  SELECT doc_id, norm, greatest(length(norm) - 7, 0) AS ng FROM base),
-         |gi AS (
-         |  SELECT doc_id, ng, norm,
-         |    unnest(range(1, CAST(greatest(ng + 1, 1) AS BIGINT))) AS i
-         |  FROM b2),
-         |grams AS (
-         |  SELECT doc_id, ng, CAST(i AS BIGINT) AS i,
-         |    ${md("substr(norm, CAST(i AS INT), 8)")} AS h
-         |  FROM gi),
-         |sel AS (
-         |  SELECT doc_id, ng, i,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-         |  FROM grams)
-         |SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
+      s"""WITH $winnowChainSql
+         |SELECT doc_id, COUNT(*) AS n_fps,
          |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
-         |FROM sel WHERE i <= ng - 3
+         |FROM wfps
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowChainSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+         |FROM wfps a JOIN wfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH ${minhashChainSql(W)}
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs
