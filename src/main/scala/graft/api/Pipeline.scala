@@ -42,10 +42,12 @@ final class Pipeline[T](val ds: Dataset[T], val name: String) extends Serializab
 
   /** Partition-local key_by + aggregate (reference `local_key_by`,
     * application.pony:247, with the `local_routing` flag): a per-partition
-    * grouped fold with NO shuffle — emits one partial (key, output) per key
-    * per partition where it already sits. The scale use is two-phase
-    * aggregation: localKeyBy to collapse per-partition volume, then a keyed
-    * global merge over the (much smaller) partials.
+    * grouped fold with NO shuffle — emits one FINAL (key, output) per key
+    * per partition where it already sits, exactly the reference's
+    * local-routing semantics (each worker aggregates and emits locally).
+    * NOTE: the emitted values are outputs, not mergeable accumulators —
+    * for two-phase global aggregation use [[localKeyByPartials]], whose
+    * accumulators merge with `combine`.
     */
   def localKeyBy[K, Acc, Out](f: T => K, a: GraftAggregation[T, Acc, Out])(
       implicit tupEnc: Encoder[(K, Out)]): Pipeline[(K, Out)] =
@@ -56,6 +58,22 @@ final class Pipeline[T](val ds: Dataset[T], val name: String) extends Serializab
         m.update(k, a.update(t, m.getOrElse(k, a.initialAccumulator)))
       }
       m.iterator.map { case (k, acc) => (k, a.output(acc)) }
+    }, name)
+
+  /** Shuffle-free per-partition partials for two-phase aggregation: emits
+    * (key, accumulator) per key per partition; merge downstream with
+    * `a.combine` (then `a.output`) for the exact global aggregate at a
+    * fraction of the shuffle volume.
+    */
+  def localKeyByPartials[K, Acc, Out](f: T => K, a: GraftAggregation[T, Acc, Out])(
+      implicit tupEnc: Encoder[(K, Acc)]): Pipeline[(K, Acc)] =
+    new Pipeline(ds.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[K, Acc]
+      it.foreach { t =>
+        val k = f(t)
+        m.update(k, a.update(t, m.getOrElse(k, a.initialAccumulator)))
+      }
+      m.iterator
     }, name)
 
   /** Partition-local collect (reference `local_collect`,

@@ -141,30 +141,43 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
-  /** Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4) —
-    * summarized per doc; the oracle replays the identical portable-hash
-    * selection with a SQL window min.
+  /** Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4) in
+    * ONE native pass ([[graft.plans.WinnowHashes]]) — the per-doc summary
+    * is pure array arithmetic, zero shuffles; the oracle replays the
+    * identical portable-hash selection with a SQL window min.
     */
   def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.winnowFingerprints(Sources.documents(s, dir), "doc_id", "text",
-      k = 8, w = 4, hashFn = portableHash64)
-      .groupBy($"doc_id")
-      .agg(countDistinct($"fp").as("n_fps"),
-        min($"fp").as("min_fp"), max($"fp").as("max_fp"))
+    graft.plans.WinnowHashes.register(s, k = 8, w = 4)
+    Sources.documents(s, dir)
+      .select($"doc_id", graft.plans.WinnowHashes.winnowHashes($"text").as("fps"))
+      .filter(size($"fps") > 0)
+      .select($"doc_id", size($"fps").cast("long").as("n_fps"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
       .orderBy($"doc_id")
   }
 
   /** Winnowing near-dup pairs (the MOSS overlap report): docs sharing at
     * least 5 selected fingerprints, ranked by overlap count. A posting
-    * join on the fingerprint — never a doc×doc product.
+    * join on the fingerprint — never a doc×doc product — with a document-
+    * frequency cap: a fingerprint present in >100 docs is a stop-phrase
+    * gram carrying no dedup signal, and at scale its posting group is the
+    * quadratic blowup (standard winnowing practice drops it).
     */
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fps = Dedup.winnowFingerprints(Sources.documents(s, dir), "doc_id",
-      "text", k = 8, w = 4, hashFn = portableHash64)
-    val other = fps.toDF("doc_id_b", "fp")
-    fps.join(other, "fp")
+    graft.plans.WinnowHashes.register(s, k = 8, w = 4)
+    // fingerprints computed natively per doc, exploded once, materialized
+    // once for the df-filter and both sides of the posting self-join
+    val fps = Sources.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.plans.WinnowHashes.winnowHashes($"text")).as("fp"))
+      .localCheckpoint(true)
+    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 100).select($"fp")
+    val kept = fps.join(rare, "fp")
+    val other = kept.toDF("fp", "doc_id_b")
+    kept.join(other, "fp")
       .filter($"doc_id" < $"doc_id_b")
       .groupBy($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
@@ -280,9 +293,11 @@ object DataOpsQueries {
          |FROM wfps
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winnow_pairs" ->
-      s"""WITH $winnowChainSql
+      s"""WITH $winnowChainSql,
+         |rare AS (SELECT fp FROM wfps GROUP BY fp HAVING COUNT(*) <= 100),
+         |kept AS (SELECT w.doc_id, w.fp FROM wfps w JOIN rare USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
-         |FROM wfps a JOIN wfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING COUNT(*) >= 5
          |ORDER BY doc_a, doc_b""".stripMargin,

@@ -135,11 +135,30 @@ object Dedup {
     * signature slices, not engine-private hashes, so candidate sets are
     * provably identical across engines).
     */
+  /** OPH MinHash signature → exploded (idCol, band, bk) band-key rows for
+    * a pre-hashed (idCol, _sh: array<bigint>) frame. Shared by the batch
+    * LSH pairs and the incremental streaming dedup so their stores stay
+    * band-compatible.
+    */
+  def minhashBandKeys(hashed: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
+    // one-pass native signature aggregate (graft.plans.MinHashAgg)
+    graft.plans.MinHashAgg.register(hashed.sparkSession, numHashes)
+    val signed = hashedRows.groupBy(col(idCol))
+      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
+    signed
+      .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          slice(col("_sig"), b * rows + 1, lit(rows)).as("bk")))))
+      .select(col(idCol), col("_band.band"), col("_band.bk"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, bands: Int, threshold: Double,
       hashFn: Column => Column = xxhash64(_),
       preHashed: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
     // preHashed: shingleCol is already a distinct array<bigint> (e.g. the
     // native graft.plans.ShingleHashes one-pass form)
     val hashed = (if (preHashed) docs.select(col(idCol), col(shingleCol).as("_sh"))
@@ -147,16 +166,7 @@ object Dedup {
         array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
-      // one-pass native signature aggregate (graft.plans.MinHashAgg)
-      graft.plans.MinHashAgg.register(docs.sparkSession, numHashes)
-      val signed = hashedRows.groupBy(col(idCol))
-        .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
-      val banded = signed
-        .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            slice(col("_sig"), b * rows + 1, lit(rows)).as("bk")))))
-        .select(col(idCol), col("_band.band"), col("_band.bk"))
+      val banded = minhashBandKeys(hashed, idCol, numHashes, bands)
       val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
       val pairs = banded.join(other, Seq("band", "bk"))
         .filter(col(idCol) < col(s"${idCol}_b"))

@@ -134,6 +134,9 @@ object Multimodal {
           sampled.foreach(s => (0 until f.length).foreach(i => f(i) += s(i)))
           if (sampled.nonEmpty) (0 until f.length).foreach(i => f(i) /= sampled.size)
           MediaFeatures(m.media_id, m.kind, f, targetW, targetH, sampled.size)
+        case other =>
+          throw new IllegalArgumentException(
+            s"JdkDecoder: unsupported media kind '$other' (media_id=${m.media_id})")
       }
   }
 

@@ -50,7 +50,11 @@ object Windows {
       as: String = "window_start"): DataFrame = {
     val t = epochS(ts)
     val firsts = df.groupBy(key.as("_ua_key")).agg(min(t).as("_ua_first"))
-    df.join(broadcast(firsts), key === col("_ua_key"))
+    // null-safe join (null keys form their own window group, as the old
+    // window-partitionBy did); no broadcast hint — Catalyst broadcasts the
+    // one-row-per-key aggregate while it fits and falls back to a shuffle
+    // join for high-cardinality keys
+    df.join(firsts, key <=> col("_ua_key"))
       .withColumn(as,
         col("_ua_first") + ((t - col("_ua_first")) / rangeS).cast("long") * rangeS)
       .drop("_ua_key", "_ua_first")
@@ -87,7 +91,7 @@ object Windows {
     */
   def dropLate(df: DataFrame, key: Column, ts: Column, delayS: Long): DataFrame = {
     val maxes = df.groupBy(key.as("_dl_key")).agg(max(epochS(ts)).as("_dl_max"))
-    df.join(broadcast(maxes), key === col("_dl_key"))
+    df.join(maxes, key <=> col("_dl_key"))
       .filter(epochS(ts) >= col("_dl_max") - delayS)
       .drop("_dl_key", "_dl_max")
   }

@@ -82,24 +82,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val k = lKey.eval(l)
         val o = lOrd.eval(l)
-        // advance the right stream through every row at or before (k, o)
-        var advance = rRow != null
-        while (advance) {
-          val rk = rKey.eval(rRow)
-          val cmp = keyOrdering.compare(rk.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
-          val take = cmp < 0 || (cmp == 0 &&
-            ordOrdering.compare(rOrd.eval(rRow).asInstanceOf[AnyRef],
-              o.asInstanceOf[AnyRef]) <= 0)
-          if (take) {
-            val v = rVal.eval(rRow)
-            if (v != null) { lastKey = rk; lastVal = v; hasLast = true }
-            rRow = if (rIter.hasNext) rIter.next().copy() else null
-            advance = rRow != null
-          } else advance = false
+        if (k == null || o == null) {
+          // SQL join semantics: a null key/ord matches nothing — the left
+          // row still flows through with a null carried value
+          valRow.update(0, null)
+        } else {
+          // advance the right stream through every row at or before (k, o)
+          var advance = rRow != null
+          while (advance) {
+            val rk = rKey.eval(rRow)
+            val ro = if (rk == null) null else rOrd.eval(rRow)
+            if (rk == null || ro == null) {
+              // null-keyed right rows sort first (NULLS FIRST) and can
+              // never match — skip them
+              rRow = if (rIter.hasNext) rIter.next().copy() else null
+              advance = rRow != null
+            } else {
+              val cmp = keyOrdering.compare(rk.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef])
+              val take = cmp < 0 || (cmp == 0 &&
+                ordOrdering.compare(ro.asInstanceOf[AnyRef],
+                  o.asInstanceOf[AnyRef]) <= 0)
+              if (take) {
+                val v = rVal.eval(rRow)
+                if (v != null) { lastKey = rk; lastVal = v; hasLast = true }
+                rRow = if (rIter.hasNext) rIter.next().copy() else null
+                advance = rRow != null
+              } else advance = false
+            }
+          }
+          val visible = hasLast && keyOrdering.compare(
+            lastKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
+          valRow.update(0, if (visible) lastVal else null)
         }
-        val visible = hasLast && keyOrdering.compare(
-          lastKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
-        valRow.update(0, if (visible) lastVal else null)
         proj(joined(l, valRow))
       }
     }

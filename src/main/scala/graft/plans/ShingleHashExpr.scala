@@ -70,6 +70,70 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Winnowing fingerprints in ONE native pass per row: portable-hash every
+  * character k-gram of the normalized text ([a-z0-9 ]+ after lowering —
+  * pure ASCII, so char positions equal SQL character positions), then keep
+  * the distinct minima of every complete window of `w` consecutive gram
+  * hashes. Bit-identical to the explode + sliding-window-min + distinct
+  * chain (`Dedup.winnowFingerprints` with portableHash64) and to the
+  * DuckDB oracle, without shuffling gram rows.
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "k-gram width and window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_hashes requires a string column, got ${other.catalogString}")
+  }
+
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val norm = input.asInstanceOf[UTF8String].toLowerCase.toString
+      .replaceAll("[^a-z0-9]+", " ")
+    val ng = math.max(norm.length - (k - 1), 0)
+    val grams = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      digest.reset()
+      val d = digest.digest(norm.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      grams(i) = h >>> 4
+      i += 1
+    }
+    val seen = mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i <= ng - w) {
+      var m = grams(i)
+      var j = 1
+      while (j < w) { if (grams(i + j) < m) m = grams(i + j); j += 1 }
+      seen += m
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_hashes"
+}
+
+object WinnowHashes {
+  def winnowHashes(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("winnow_hashes", text)
+
+  /** Register `winnow_hashes(text)` with fixed k-gram and window widths. */
+  def register(spark: SparkSession, k: Int = 8, w: Int = 4): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_hashes", exprs => WinnowHashes(exprs.head, k, w), "built-in")
+}
+
 object ShingleHashes {
   def shingleHashes(text: Column): Column =
     org.apache.spark.sql.functions.call_function("shingle_hashes", text)

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.PrintWriter
 import java.net.Socket
 import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
@@ -115,14 +114,22 @@ case class KafkaSinkConfig(brokers: Seq[String], topic: String,
 case class TcpSinkConfig(host: String, port: Int) extends StreamSink {
   def writer(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.foreach(new ForeachWriter[Row] {
+      // raw Writer, NOT PrintWriter: PrintWriter swallows IOExceptions
+      // (sets an internal flag), which would let a mid-epoch connection
+      // reset commit the epoch and silently lose rows — here a write
+      // failure throws and Spark retries the epoch
       @transient private var socket: Socket = _
-      @transient private var out: PrintWriter = _
+      @transient private var out: java.io.Writer = _
       def open(partitionId: Long, epochId: Long): Boolean = {
         socket = new Socket(host, port)
-        out = new PrintWriter(socket.getOutputStream)
+        out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          socket.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
         true
       }
-      def process(row: Row): Unit = out.println(row.get(0))
+      def process(row: Row): Unit = {
+        out.write(String.valueOf(row.get(0)))
+        out.write('\n')
+      }
       def close(errorOrNull: Throwable): Unit = {
         if (out != null) out.flush()
         if (socket != null) socket.close()

@@ -20,24 +20,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingDedup {
 
-  /** Band keys + hashed shingles for a (doc_id, text) batch. */
+  /** Band keys + hashed shingles for a (doc_id, text) batch — band layout
+    * comes from [[graft.operators.Dedup.minhashBandKeys]], the same code
+    * the batch LSH family uses, so store contents stay band-compatible.
+    */
   private[streaming] def signatures(batch: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     val spark = batch.sparkSession
     graft.plans.ShingleHashes.register(spark, n = 3)
-    graft.plans.MinHashAgg.register(spark, numHashes)
-    val rows = numHashes / bands
     val hashed = batch.select(col("doc_id"),
-      graft.plans.ShingleHashes.shingleHashes(col("text")).as("sh"))
-    val signed = hashed.select(col("doc_id"), explode(col("sh")).as("_h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
-    signed
-      .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          slice(col("_sig"), b * rows + 1, lit(rows)).as("bk")))))
-      .select(col("doc_id"), col("_band.band"), col("_band.bk"))
-      .join(hashed, "doc_id")
+      graft.plans.ShingleHashes.shingleHashes(col("text")).as("_sh"))
+    graft.operators.Dedup.minhashBandKeys(hashed, "doc_id", numHashes, bands)
+      .join(hashed.withColumnRenamed("_sh", "sh"), "doc_id")
   }
 
   /** Start the incremental dedup: reads a streaming (doc_id, text) frame,
@@ -78,13 +72,17 @@ object StreamingDedup {
         .filter(col("doc_id") > col("dup_of")) // later id is the duplicate
       val jac = size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
         size(array_union(col("sh"), col("sh_b")))
+      // best match per doc: max jaccard, ties to the smaller dup_of — kept
+      // together as one struct so the reported pair is consistent
       val flagged = vsStore.fold(vsNew)(vsNew.unionByName(_))
         .select(col("doc_id"), col("dup_of"), col("sh"), col("sh_b"))
         .distinct()
         .withColumn("jaccard", jac)
         .filter(col("jaccard") >= threshold)
         .groupBy(col("doc_id"))
-        .agg(min(col("dup_of")).as("dup_of"), max(col("jaccard")).as("jaccard"))
+        .agg(max(struct(col("jaccard"), (-col("dup_of")).as("nd"))).as("_best"))
+        .select(col("doc_id"), (-col("_best.nd")).as("dup_of"),
+          col("_best.jaccard").as("jaccard"))
       flagged.write.mode(SaveMode.Append).parquet(flagDir)
       sigs.select(col("doc_id"), col("band"), col("bk"), col("sh"))
         .write.mode(SaveMode.Append).parquet(storeDir)

@@ -129,9 +129,12 @@ class ConnectorSpec extends AnyFunSuite {
     val localKeyed = Pipeline.source("lkb", ds).localKeyBy(_ % 10, sumAgg)
     val keyedPlan = localKeyed.ds.queryExecution.executedPlan.toString
     assert(!keyedPlan.contains("Exchange"), keyedPlan.take(1500))
-    // partials per key per partition merge to the exact global answer
-    val merged = localKeyed.ds.groupByKey(_._1)
-      .mapValues(_._2).reduceGroups(_ + _).collect().toMap
+    // two-phase: accumulator partials merge via combine to the global answer
+    val merged = Pipeline.source("lkp", ds).localKeyByPartials(_ % 10, sumAgg)
+      .ds.groupByKey(_._1)
+      .mapValues(_._2).reduceGroups(sumAgg.combine _)
+      .map { case (k, acc) => (k, sumAgg.output(acc)) }
+      .collect().toMap
     val expected = (0L until 1000L).groupBy(_ % 10).view.mapValues(_.sum).toMap
     assert(merged == expected)
     val localAll = Pipeline.source("lc", ds).localCollect(sumAgg)

@@ -53,6 +53,19 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(docs.count() == 500)
   }
 
+  test("WinnowHashes native expression equals the exploded window-min chain") {
+    import spark.implicits._
+    graft.plans.WinnowHashes.register(spark, k = 8, w = 4)
+    val native = Sources.documents(spark, sf)
+      .select($"doc_id",
+        explode(graft.plans.WinnowHashes.winnowHashes($"text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Dedup.winnowFingerprints(Sources.documents(spark, sf),
+      "doc_id", "text", k = 8, w = 4, hashFn = portableHash64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == composed && native.nonEmpty)
+  }
+
   test("SimHashBits native expression equals the columnar portable build") {
     import spark.implicits._
     graft.plans.SimHashBits.register(spark, bits = 60)
