@@ -103,4 +103,96 @@ class StatefulWindowsPropertySpec extends AnyFunSuite {
         s"\nbatches=$batches\nexpected=$expected\ngot=$got")
     }
   }
+
+  // ---------- ephemeral windows (trigger + post-trigger + expiry) ----------
+
+  val TriggerS = 10L
+  val PostTriggerS = 8L
+  val EDelayS = 3L
+
+  /** Reference-semantics simulator for ephemeral windows: anchor at first
+    * event's watermark, strict trigger, expiry at the remove point, reopen
+    * after; per-key watermark advances with the key's own events, the
+    * global watermark at batch boundaries.
+    */
+  private def simulateEphemeral(batches: Seq[Seq[Reading]],
+      policy: LatePolicy): Seq[(String, Long, Long)] = {
+    case class St(startTs: Long, var maxTs: Long, var triggered: Boolean,
+      var acc: Long)
+    val out = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val st = mutable.Map.empty[String, St]
+    var globalWm = Long.MinValue
+    var maxSeen = Long.MinValue
+    def trig(s: St) = s.startTs - EDelayS + TriggerS
+    def remove(s: St) = trig(s) + PostTriggerS
+    def tryTrigger(k: String, s: St, wm: Long): Unit =
+      if (!s.triggered && wm > trig(s)) { out += ((k, s.startTs, s.acc)); s.triggered = true }
+    def tryExpire(k: String, wm: Long): Unit = st.get(k).foreach { s =>
+      if (wm >= remove(s)) { tryTrigger(k, s, wm); st.remove(k) }
+    }
+    for (batch <- batches) {
+      for ((key, rows) <- batch.groupBy(_.key).toSeq.sortBy(_._1);
+           in <- rows.sortBy(_.t)) {
+        val t = in.t
+        st.get(key).foreach { s =>
+          val wm = math.max(math.max(globalWm, s.maxTs - EDelayS), t - EDelayS)
+          if (wm >= remove(s)) { tryTrigger(key, s, wm); st.remove(key) }
+        }
+        st.get(key) match {
+          case None => st(key) = St(t, t, triggered = false, in.v)
+          case Some(s) if !s.triggered =>
+            s.maxTs = math.max(s.maxTs, t); s.acc += in.v
+          case Some(s) =>
+            policy match {
+              case LatePolicy.FirePerMessage => out += ((key, s.startTs, in.v))
+              case _ => ()
+            }
+            s.maxTs = math.max(s.maxTs, t)
+        }
+        st.get(key).foreach(s =>
+          tryTrigger(key, s, math.max(globalWm, s.maxTs - EDelayS)))
+        maxSeen = math.max(maxSeen, t)
+      }
+      if (maxSeen != Long.MinValue) globalWm = maxSeen - EDelayS
+      st.keys.toSeq.sorted.foreach { k =>
+        st.get(k).foreach(s =>
+          tryTrigger(k, s, math.max(globalWm, s.maxTs - EDelayS)))
+        tryExpire(k, math.max(globalWm,
+          st.get(k).map(_.maxTs - EDelayS).getOrElse(Long.MinValue)))
+      }
+    }
+    out.sorted.toSeq
+  }
+
+  private def runEphemeral(batches: Seq[Seq[Reading]], policy: LatePolicy,
+      name: String): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Reading]
+    val out = StatefulWindows.ephemeralWindows(in.toDS(), (_: Reading).key,
+      (_: Reading).t, "t", TriggerS, PostTriggerS, EDelayS, policy, sumAgg,
+      admitLateS = AdmitS)
+    val q = out.toDF("key", "wstart", "total").writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b =>
+      if (b.nonEmpty) in.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val rows = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    q.stop()
+    rows
+  }
+
+  for (policy <- Seq(LatePolicy.Drop, LatePolicy.FirePerMessage);
+      seed <- Seq(5, 23, 71)) {
+    test(s"randomized ephemeral parity: $policy seed=$seed") {
+      val batches = scenario(seed)
+      val expected = simulateEphemeral(batches, policy)
+      val got = runEphemeral(batches, policy,
+        s"eprop_${policy.getClass.getSimpleName.replace("$", "")}_$seed")
+      assert(got == expected,
+        s"\nbatches=$batches\nexpected=$expected\ngot=$got")
+    }
+  }
 }
