@@ -103,6 +103,19 @@ object DataOpsQueries {
       .select($"vec_id", $"bucket", $"cos")
   }
 
+  /** Exact k-NN join: 5 query vectors against the corpus, top-10 each —
+    * per-partition heaps, corpus never shuffles.
+    */
+  def qKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    Similarity.knnJoin(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10)
+      .orderBy($"query_id", $"vec_id")
+  }
+
   def qTextTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Sources.documents(s, dir).select(
@@ -198,6 +211,7 @@ object DataOpsQueries {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_ivf" -> qAnnIvf,
+    "q_knn_join" -> qKnnJoin,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid)
@@ -400,6 +414,19 @@ object DataOpsQueries {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.40
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT q.query_id, e.vec_id, ${cos("e.embedding", "qv")} AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM c)
+         |SELECT query_id, vec_id, cos FROM r WHERE rn <= 10
+         |ORDER BY query_id, vec_id""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cos("embedding", "qv")} AS cos

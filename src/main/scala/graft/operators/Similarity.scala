@@ -66,6 +66,77 @@ object Similarity {
   def writeBucketed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Exact k-NN JOIN: for every query vector (a small broadcast side — the
+    * "dedup new data against a reference set" shape), the top-k corpus
+    * rows by cosine. Each partition keeps one bounded heap per query and
+    * emits at most queries×k candidates, so the only shuffle is the final
+    * top-k merge over queries×k×partitions rows; the corpus itself never
+    * shuffles. Cosine accumulates as a sequential index-order double fold
+    * — bit-identical to [[graft.plans.VecCosine]] and the SQL oracle.
+    */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "knnJoin: no query vectors")
+    val bc = spark.sparkContext.broadcast(qs)
+    // heap head = WORST kept candidate: lower cos ranks higher, ties by
+    // higher id — so replacing the head keeps top-k by cos desc / id asc
+    val heapOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partials = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queriesLocal = bc.value
+        val heaps = queriesLocal.map(_ =>
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < queriesLocal.length) {
+            val (qid, qv) = queriesLocal(qi)
+            if (!(excludeSelf && id == qid)) {
+              var dot = 0.0; var aa = 0.0; var qq = 0.0
+              var i = 0
+              val n = math.min(v.length, qv.length)
+              while (i < n) {
+                val x = v(i).toDouble; val y = qv(i).toDouble
+                dot += x * y; aa += x * x; qq += y * y
+                i += 1
+              }
+              val cos = dot / (math.sqrt(aa) * math.sqrt(qq))
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, id))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && id < wid)) {
+                  h.dequeue(); h.enqueue((cos, id))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        queriesLocal.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", idCol, "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    partials.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are closest
     * to the query vector, then brute-force inside them.
     */
