@@ -353,7 +353,22 @@ object Analytics {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  /** Mergeable histogram quantile sketch ([[graft.plans.HistQuantileAgg]])
+    * gated like the other sketches: exact median + a bounded-absolute-error
+    * contract (one bin width over [0, 1000) with 2000 bins = 0.5).
+    */
+  def qHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.HistQuantileAgg.register(s, q = 0.5, lo = 0.0, hi = 1000.0,
+      bins = 2000)
+    val est = graft.plans.HistQuantileAgg.histQuantile($"value")
+    Sources.events(s, dir).agg(
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      (abs(est - expr("percentile(value, 0.5)")) <= 0.5).as("sketch_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hist_quantile" -> qHistQuantile,
     "q_volume_shipping" -> qVolumeShipping,
     "q_grouping_sets" -> qGroupingSets,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
@@ -386,6 +401,9 @@ object Analytics {
         |FROM events""".stripMargin,
     "q_hll_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events""".stripMargin,
+    "q_hist_quantile" ->
+      """SELECT quantile_cont(value, 0.5) AS exact_p50, TRUE AS sketch_ok
         |FROM events""".stripMargin,
     "q_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -26,6 +26,22 @@ class HllSketchSpec extends AnyFunSuite {
       s"estimate ${estimates.head} vs exact $exact")
   }
 
+  test("histogram quantile sketch: bounded error and invariant under partitioning") {
+    import spark.implicits._
+    graft.plans.HistQuantileAgg.register(spark, q = 0.5, lo = 0.0,
+      hi = 1000.0, bins = 2000)
+    val ev = Sources.events(spark, "/root/testdata/sf0.001")
+    val exact = ev.selectExpr("percentile(value, 0.5)").head.getDouble(0)
+    val estimates = Seq(1, 4, 16).map { n =>
+      ev.repartition(n)
+        .agg(graft.plans.HistQuantileAgg.histQuantile($"value"))
+        .head.getDouble(0)
+    }
+    assert(estimates.distinct.size == 1, estimates.toString)
+    assert(math.abs(estimates.head - exact) <= 0.5,
+      s"estimate ${estimates.head} vs exact $exact")
+  }
+
   test("hll sketch: SQL-callable and rejects non-bigint input") {
     HllSketchAgg.register(spark)
     Sources.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev_hll")
