@@ -138,6 +138,9 @@ object Examples {
       def initialState = 0L
       def apply(e: Event, cum: Long) = {
         val next = cum + roundHalfAway(e.value * 100)
+        // NOTE: Scala Long `/` truncates toward zero, and so does DuckDB's
+        // integer `//` (verified r2) — the boundary check matches the oracle
+        // on every sign without floorDiv.
         val out = if (next / 100000L > cum / 100000L)
           Iterator.single((e.user_id, e.event_id, next / 100.0))
         else Iterator.empty
