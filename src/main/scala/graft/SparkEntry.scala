@@ -16,12 +16,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Examples.queries ++ WindowQueries.queries ++
-      DataOpsQueries.queries ++ Analytics.queries ++ TpchExt.queries
+      DataOpsQueries.queries ++ Analytics.queries ++ TpchExt.queries ++
+      CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Examples.oracles ++ WindowQueries.oracles ++
-      DataOpsQueries.oracles ++ Analytics.oracles ++ TpchExt.oracles
+      DataOpsQueries.oracles ++ Analytics.oracles ++ TpchExt.oracles ++
+      CorpusOps.oracles
 }
