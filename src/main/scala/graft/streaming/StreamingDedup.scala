@@ -84,8 +84,44 @@ object StreamingDedup {
         .select(col("doc_id"), (-col("_best.nd")).as("dup_of"),
           col("_best.jaccard").as("jaccard"))
       flagged.write.mode(SaveMode.Append).parquet(flagDir)
+      // band-partitioned from the first append so the layout matches what
+      // compactStore rewrites (mixed flat/partitioned dirs don't discover);
+      // repartition(band) gives one file per band per batch, not one per task
       sigs.select(col("doc_id"), col("band"), col("bk"), col("sh"))
-        .write.mode(SaveMode.Append).parquet(storeDir)
+        .repartition(col("band"))
+        .write.partitionBy("band").mode(SaveMode.Append).parquet(storeDir)
     } finally sigs.unpersist()
+  }
+
+  /** Compact the append-only signature store: drop duplicate rows (a batch
+    * replayed after a failure appends its signatures twice under
+    * foreachBatch's at-least-once contract) and rewrite the accumulated
+    * small files as parquet partitioned by `band`.
+    *
+    * After compaction a targeted probe (filter on band values) prunes to
+    * the matching partition directories at the source — the store scales
+    * to a 100 TB corpus's signatures because no probe ever reads buckets
+    * it can't match. The rewrite is a write-to-side-dir + atomic swap;
+    * call it from a maintenance point between batches (foreachBatch
+    * serializes batches, so scheduling it there is safe).
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = storeDir + "__compacting"
+    val old = storeDir + "__old"
+    spark.read.parquet(storeDir)
+      .select(col("doc_id"), col("band"), col("bk"), col("sh"))
+      .distinct()
+      .repartition(col("band"))
+      .write.partitionBy("band").mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(storeDir), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(storeDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the superseded files
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(old))
   }
 }

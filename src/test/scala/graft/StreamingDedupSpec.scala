@@ -44,4 +44,57 @@ class StreamingDedupSpec extends AnyFunSuite {
         .distinct().count() == 5)
     } finally q.stop()
   }
+
+  test("store compaction preserves probe results, dedups replays, prunes by band") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact").toString
+    val store = base + "/store"
+    val flagsA = base + "/flagsA"
+    val flagsB = base + "/flagsB"
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // seed two batches, then simulate a replayed append (at-least-once)
+    StreamingDedup.processBatch(batch((1L, a), (2L, b)), store, flagsA, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), store, flagsA, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), store, flagsA, 64, 16, 0.5)
+    val preRows = spark.read.parquet(store)
+    assert(preRows.count() > preRows.distinct().count()) // replay duplicated rows
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val filesBefore = parquetFiles(store)
+
+    // probe WITHOUT compaction → expected flags
+    StreamingDedup.processBatch(batch((3L, aDup)), store, flagsA, 64, 16, 0.5)
+    val expected = spark.read.parquet(flagsA)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // rebuild the same store, compact, probe → same flags
+    val store2 = base + "/store2"
+    StreamingDedup.processBatch(batch((1L, a), (2L, b)), store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.compactStore(spark, store2)
+    val post = spark.read.parquet(store2)
+    assert(post.count() == post.distinct().count()) // replays deduped
+    assert(post.select("doc_id").distinct().count() == 3)
+    StreamingDedup.processBatch(batch((3L, aDup)), store2, flagsB, 64, 16, 0.5)
+    val got = spark.read.parquet(flagsB)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.contains((3L, 1L)))
+
+    // compacted layout: band=N partition dirs, fewer files than the raw
+    // appends, and a band-value probe shows source-level partition pruning
+    val dirs = new java.io.File(store2).listFiles.filter(_.isDirectory)
+    assert(dirs.exists(_.getName.startsWith("band=")))
+    val filesAfter = parquetFiles(store2)
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    val probePlan = spark.read.parquet(store2).filter($"band" === 3)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+      probePlan.contains("band"), probePlan)
+  }
 }
