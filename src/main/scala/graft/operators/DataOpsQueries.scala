@@ -103,6 +103,49 @@ object DataOpsQueries {
       .select($"vec_id", $"bucket", $"cos")
   }
 
+  /** Distributed k-means training of the IVF index (k=4, 2 Lloyd
+    * iterations, quantized mean updates): reports final cluster sizes and
+    * centroid norms — both bit-reproduced by the SQL oracle, which replays
+    * the full training loop in chained CTEs.
+    */
+  def qKmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val assigned = emb.withColumn("bucket",
+      Similarity.argmaxCosine($"embedding", cents))
+    val sizes = assigned.groupBy($"bucket").agg(count(lit(1)).as("n_members"))
+    // same sequential index-order fold as the oracle's list_sum
+    val norms = cents.map { case (cid, c) =>
+      var ss = 0.0; var i = 0
+      while (i < c.length) { ss += c(i) * c(i); i += 1 }
+      (cid, math.sqrt(ss))
+    }
+    norms.toDF("bucket", "cnorm")
+      .join(sizes, Seq("bucket"), "left")
+      .select($"bucket".as("cid"),
+        coalesce($"n_members", lit(0L)).as("n_members"), $"cnorm")
+      .orderBy($"cid")
+  }
+
+  /** Bucketed range join: views within ±30 s of each purchase (no equality
+    * key — the shape that degenerates to a nested-loop join without the
+    * bucket decomposition in [[RangeJoin]]).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, dir).withColumn("ts_s", epochS($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts_s".as("p_ts"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"ts_s".as("v_ts"), $"value".as("v_val"))
+    RangeJoin.byTolerance(purchases, "p_ts", views, "v_ts", 30L)
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_views"), xsum($"v_val").as("sum_view_value"))
+      .orderBy($"p_id")
+  }
+
   /** Exact k-NN join: 5 query vectors against the corpus, top-10 each —
     * per-partition heaps, corpus never shuffles.
     */
@@ -214,7 +257,9 @@ object DataOpsQueries {
     "q_knn_join" -> qKnnJoin,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
-    "q_text_langid" -> qTextLangid)
+    "q_text_langid" -> qTextLangid,
+    "q_kmeans_train" -> qKmeansTrain,
+    "q_range_join" -> qRangeJoin)
 
   // Shared oracle fragments
   private val W =
@@ -474,5 +519,65 @@ object DataOpsQueries {
          |    WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
          |    WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
          |    ELSE 'de' END AS pred_lang
-         |FROM c ORDER BY doc_id""".stripMargin)
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_kmeans_train" -> kmeansOracle,
+    "q_range_join" ->
+      """WITH t AS (SELECT event_id, event_type, value,
+        |  epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+        |SELECT p.event_id AS p_id, COUNT(*) AS n_views,
+        |  CAST(SUM(CAST(v.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_view_value
+        |FROM t p JOIN t v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND abs(p.ts_s - v.ts_s) <= 30
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin)
+
+  /** The k-means training loop replayed in SQL: seed by salted hash rank,
+    * then per iteration a cross-join argmax assignment (row_number keeps
+    * the strict-`>` lowest-cid tie rule) and a quantized per-dimension
+    * mean update; empty clusters carry the previous centroid forward.
+    */
+  private def kmeansOracle: String = {
+    def cosSql(v: String, c: String) = {
+      val dot = s"list_sum(list_transform(range(1,65), i -> CAST($v[i] AS DOUBLE)*$c[i]))"
+      val vv = s"list_sum(list_transform(range(1,65), i -> CAST($v[i] AS DOUBLE)*CAST($v[i] AS DOUBLE)))"
+      val cc = s"list_sum(list_transform(range(1,65), i -> $c[i]*$c[i]))"
+      s"$dot / (sqrt($vv) * sqrt($cc))"
+    }
+    def iter(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, v, cid, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.v, p.cid, ${cosSql("e.v", "p.c")} AS cos
+         |        FROM e CROSS JOIN $prev p)),
+         |u$n AS (
+         |  SELECT cid, i,
+         |    SUM(CAST(round(CAST(v[i] AS DOUBLE)*1000000) AS BIGINT)) AS s,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cid, v, unnest(range(1, 65)) AS i FROM a$n WHERE rn = 1)
+         |  GROUP BY cid, i),
+         |m$n AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE)/n/1000000 ORDER BY i) AS c
+         |  FROM u$n GROUP BY cid),
+         |c$n AS (
+         |  SELECT p.cid, COALESCE(m.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN m$n m ON p.cid = m.cid)""".stripMargin
+    val h = md("'km:'||vec_id")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY $h, vec_id) - 1 AS BIGINT) AS cid,
+       |    list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, v FROM e ORDER BY $h, vec_id LIMIT 4)),
+       |${iter("c0", 1)},
+       |${iter("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM (SELECT e.vec_id, p.cid, ${cosSql("e.v", "p.c")} AS cos
+       |        FROM e CROSS JOIN c2 p)),
+       |sz AS (SELECT cid, COUNT(*) AS n FROM af WHERE rn = 1 GROUP BY cid)
+       |SELECT c2.cid, COALESCE(sz.n, 0) AS n_members,
+       |  sqrt(list_sum(list_transform(range(1,65), i -> c[i]*c[i]))) AS cnorm
+       |FROM c2 LEFT JOIN sz ON c2.cid = sz.cid
+       |ORDER BY c2.cid""".stripMargin
+  }
 }

@@ -66,6 +66,70 @@ object Similarity {
   def writeBucketed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Distributed Lloyd k-means trainer for the IVF index (cosine
+    * assignment, mean update). Per iteration: one zero-shuffle argmax
+    * projection over the corpus (centroids are literals, K ≪ n) plus one
+    * groupBy(bucket) whose per-dimension sums combine map-side — the
+    * textbook k-means-on-MapReduce shape that holds at 100 TB.
+    *
+    * Updates are QUANTIZED (each coordinate is summed as
+    * `round(x * 1e6)` integers, the mean is one double division), so the
+    * trained centroids are independent of partitioning and bit-identical
+    * to a sequential reference — which makes the whole training loop
+    * oracle-checkable in SQL. Seeds are the `k` vectors with the smallest
+    * salted portable hash (deterministic; cid = seed rank).
+    *
+    * Returns (cid, centroid) pairs, cid 0..k-1.
+    */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    graft.plans.VecCosine.register(emb.sparkSession)
+    val dim = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val seeds = emb
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_h", portableHash64(concat(lit("km:"), col("_id"))))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+    require(seeds.length == k, s"k-means: corpus smaller than k=$k")
+    var cents: Seq[(Long, Array[Double])] = seeds.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+    }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("_bucket",
+        argmaxCosine(col(vecCol), cents))
+      val sums = assigned.groupBy(col("_bucket"))
+        .agg(count(lit(1)).as("_n"), (0 until dim).map(i =>
+          sum(round(element_at(col(vecCol), i + 1) * 1e6).cast("long"))
+            .as(s"_s$i")): _*)
+        .collect()
+      val updated = sums.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0),
+          Array.tabulate(dim)(i => r.getLong(i + 2).toDouble / n / 1e6))
+      }.toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Nearest-centroid id by cosine over literal double centroids — the
+    * same strict-`>` fold as [[assignIvf]] (ties keep the lowest cid).
+    */
+  def argmaxCosine(vec: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    val cArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v.toSeq).as("cv"))
+    }: _*)
+    aggregate(cArr,
+      struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
+      (acc, c) => {
+        val cs = graft.plans.VecCosine.cosine(vec, c.getField("cv"))
+        when(cs > acc.getField("cos"),
+          struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
+      }).getField("cid")
+  }
+
   /** Exact k-NN JOIN: for every query vector (a small broadcast side — the
     * "dedup new data against a reference set" shape), the top-k corpus
     * rows by cosine. Each partition keeps one bounded heap per query and
