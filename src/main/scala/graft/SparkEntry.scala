@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Examples.queries ++ WindowQueries.queries ++
       DataOpsQueries.queries ++ Analytics.queries ++ TpchExt.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ Pack.queries ++ Freq.queries ++
+      Repetition.queries ++ Quantize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Examples.oracles ++ WindowQueries.oracles ++
       DataOpsQueries.oracles ++ Analytics.oracles ++ TpchExt.oracles ++
-      CorpusOps.oracles
+      CorpusOps.oracles ++ Pack.oracles ++ Freq.oracles ++
+      Repetition.oracles ++ Quantize.oracles
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Specs for the round-4 operators: distributed prefix sum / sequence
+  * packing, Misra-Gries heavy hitters, Bloom-filter join pruning, the
+  * repetition filter, and int8 quantization.
+  */
+class PackFreqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.configure(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("exclusivePrefixSum matches the single-partition window under any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(500)(i => (i.toLong, rng.nextInt(100).toLong))
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = Pack.exclusivePrefixSum(df, Seq("id"), "v", "off", numParts = parts)
+        .select($"id", $"off").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = rows.toDF("id", "v")
+        .withColumn("off", coalesce(sum($"v").over(
+          Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("exclusivePrefixSum plan has no global single-partition sort") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = Pack.exclusivePrefixSum(df, Seq("id"), "v", "off", numParts = 4)
+    // the result is built from range-partitioned mapPartitions output —
+    // a global window would plan Exchange SinglePartition + Sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("Misra-Gries guarantee holds under adversarial order and any partitioning") {
+    import spark.implicits._
+    val k = 9
+    graft.plans.MisraGriesAgg.register(spark, k)
+    // 3 heavy keys (freq 400 each) drowned in 2000 unique light keys:
+    // N = 3200, N/(k+1) = 320 < 400 → heavies MUST survive
+    val data = (Seq.fill(400)("hv_a") ++ Seq.fill(400)("hv_b") ++
+      Seq.fill(400)("hv_c") ++ (0 until 2000).map(i => s"light_$i"))
+    for ((seed, parts) <- Seq((1, 1), (2, 4), (3, 16))) {
+      val shuffled = new scala.util.Random(seed).shuffle(data)
+      val kept = shuffled.toDF("w").repartition(parts)
+        .agg(graft.plans.MisraGriesAgg.misraGries($"w").as("mg"))
+        .select(map_keys($"mg")).head.getSeq[String](0).toSet
+      assert(kept.size <= k)
+      assert(Set("hv_a", "hv_b", "hv_c").subsetOf(kept), s"seed=$seed parts=$parts")
+    }
+  }
+
+  test("Bloom filter has no false negatives and prunes most non-members") {
+    import spark.implicits._
+    val members = (0L until 300L by 3L).toDF("k")
+    val bloom = Freq.buildBloom(members, "k", mBits = 1 << 13, kh = 3)
+    val probes = (0L until 10000L).toDF("p")
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", Freq.mightContain($"bloom", $"p", 1 << 13, 3))
+    val falseNeg = probes.filter($"p" % 3 === 0 && $"p" < 300 && !$"hit").count()
+    assert(falseNeg == 0)
+    val passed = probes.filter($"hit").count()
+    // 100 members; FP rate at m=8192,n=100,k=3 is ~1e-4 — allow slack
+    assert(passed < 300, s"bloom passed $passed of 10000")
+  }
+
+  test("q_rep_filter flags a template-spam document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now " * 30 + "end"),          // one dominant bigram
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))) // all-distinct
+      .toDF("doc_id", "text")
+    val stats = Repetition.bigramStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (ng1, nd1, top1) = stats(1L)
+    assert(top1.toDouble / ng1 > 0.3, s"spam doc top_frac $top1/$ng1")
+    val (ng2, nd2, _) = stats(2L)
+    assert(nd2 == ng2, "distinct doc should have all-unique bigrams")
+  }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    import spark.implicits._
+    val emb = graft.sources.Sources.embeddings(spark, sf)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val (mins, maxs) = Quantize.dimRanges(emb, "embedding", dim)
+    val maxStep = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0).max
+    val worst = emb.select(Quantize.sqErrExpr($"embedding", mins, maxs).as("e"))
+      .agg(max($"e")).head.getDouble(0)
+    // per-dim error < step (floor quantization) → sq err < dim * step^2
+    assert(worst < dim * maxStep * maxStep, s"worst=$worst step=$maxStep")
+  }
+}
