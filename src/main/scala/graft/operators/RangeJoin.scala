@@ -40,6 +40,30 @@ object RangeJoin {
       .drop("_b")
   }
 
+  /** Streaming twin of [[byTolerance]] over event-time TIMESTAMP columns.
+    * Structured Streaming rejects stream-stream joins without an equality
+    * predicate — the bucket decomposition supplies one: both sides get a
+    * `floor(epoch/tol)` bucket key (left exploded to its 3 adjacent
+    * buckets), the range predicate stays for exactness AND for watermark
+    * state cleanup. Callers must `withWatermark` both inputs.
+    */
+  def streamingByTolerance(left: DataFrame, lTsCol: String, right: DataFrame,
+      rTsCol: String, tolS: Long): DataFrame = {
+    require(tolS > 0, "range-join tolerance must be positive")
+    val l2 = left
+      .withColumn("_d", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_lb",
+        (floor(unix_timestamp(col(lTsCol)) / tolS).cast("long") + col("_d")))
+      .drop("_d")
+    val r2 = right
+      .withColumn("_rb", floor(unix_timestamp(col(rTsCol)) / tolS).cast("long"))
+    l2.join(r2,
+        col("_lb") === col("_rb") &&
+          col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $tolS SECONDS") &&
+          col(rTsCol) <= col(lTsCol) + expr(s"INTERVAL $tolS SECONDS"))
+      .drop("_lb", "_rb")
+  }
+
   /** Banded variant for an asymmetric window `r.t in [l.t - before, l.t + after]`:
     * buckets sized to the full span, left exploded to the covering range.
     */
