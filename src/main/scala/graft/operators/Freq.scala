@@ -104,9 +104,35 @@ object Freq {
       .orderBy($"word")
   }
 
+  /** Count-Min point-frequency estimates over the corpus word stream,
+    * oracled via BOTH sketch guarantees per word: the estimate never
+    * undercounts (hard invariant) and overshoots by at most 2N/width
+    * (holds with prob ≥ 1-2^-depth per key; deterministic here since the
+    * seeds are fixed). One broadcast sketch row serves every lookup.
+    */
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 4096
+    graft.plans.CountMinAgg.register(s, depth, width)
+    val words = Sources.documents(s, dir)
+      .select(explode(wordTokens($"text")).as("word"))
+    val sketch = words.agg(
+      graft.plans.CountMinAgg.countMin($"word").as("cm"),
+      count(lit(1)).as("total"))
+    words.groupBy($"word").agg(count(lit(1)).as("n_word"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est",
+        graft.plans.CountMinAgg.estimate($"cm", $"word", depth, width))
+      .select($"word", $"n_word",
+        ($"est" >= $"n_word").as("ok_lower"),
+        ($"est" <= $"n_word" + expr(s"total * 2 div $width")).as("ok_upper"))
+      .orderBy($"word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> qBloomJoin,
-    "q_heavy_hitters" -> qHeavyHitters)
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_countmin" -> qCountMin)
 
   private val W =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
@@ -125,5 +151,10 @@ object Freq {
          |c AS (SELECT word, COUNT(*) AS n_word FROM w GROUP BY word)
          |SELECT word, n_word, true AS in_sketch
          |FROM c, tot WHERE n_word * 65 > total
-         |ORDER BY word""".stripMargin)
+         |ORDER BY word""".stripMargin,
+    "q_countmin" ->
+      s"""WITH w AS (SELECT unnest($W) AS word FROM documents)
+         |SELECT word, COUNT(*) AS n_word,
+         |  true AS ok_lower, true AS ok_upper
+         |FROM w GROUP BY word ORDER BY word""".stripMargin)
 }

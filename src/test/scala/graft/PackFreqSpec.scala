@@ -75,6 +75,65 @@ class PackFreqSpec extends AnyFunSuite {
     assert(passed < 300, s"bloom passed $passed of 10000")
   }
 
+  test("Misra-Gries aggregate works in a streaming complete-mode aggregation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.plans.MisraGriesAgg.register(spark, 4)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val agg = in.toDS().toDF("w")
+      .agg(graft.plans.MisraGriesAgg.misraGries($"w").as("mg"))
+    val q = graft.streaming.StreamOps.toMemorySink(agg, "mg_stream", "complete")
+    in.addData(Seq.fill(50)("heavy") ++ (0 until 30).map(i => s"a$i"): _*)
+    q.processAllAvailable()
+    in.addData(Seq.fill(50)("heavy") ++ (30 until 60).map(i => s"b$i"): _*)
+    q.processAllAvailable()
+    val kept = spark.table("mg_stream")
+      .select(map_keys($"mg")).head.getSeq[String](0).toSet
+    q.stop()
+    // N=160, k=4 → guarantee threshold N/5 = 32 < 100 → "heavy" survives
+    // the cross-batch state merge
+    assert(kept.contains("heavy"))
+    assert(kept.size <= 4)
+  }
+
+  test("Count-Min sketch is partitioning-invariant and never undercounts") {
+    import spark.implicits._
+    val depth = 4; val width = 512
+    graft.plans.CountMinAgg.register(spark, depth, width)
+    val rng = new scala.util.Random(11)
+    val data = Seq.fill(2000)(s"w${rng.nextInt(300)}")
+    val sketches = Seq(1, 4, 16).map { parts =>
+      data.toDF("w").repartition(parts)
+        .agg(graft.plans.CountMinAgg.countMin($"w").as("cm"))
+        .head.getSeq[Long](0)
+    }
+    // addition commutes → the counter matrix is identical under any split
+    assert(sketches.distinct.size == 1)
+    val est = data.toDF("w").groupBy($"w").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(data.toDF("w")
+        .agg(graft.plans.CountMinAgg.countMin($"w").as("cm"))))
+      .withColumn("est",
+        graft.plans.CountMinAgg.estimate($"cm", $"w", depth, width))
+    assert(est.filter($"est" < $"n").count() == 0)
+  }
+
+  test("z-order clustering bounds BOTH dimensions' per-partition spread") {
+    import spark.implicits._
+    // a 64x64 grid: linear sort on x leaves the full y range in every
+    // partition; z-order keeps both ranges narrow
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+    val df = grid.toDF("x", "y")
+    def avgYSpread(clustered: org.apache.spark.sql.DataFrame): Double =
+      clustered
+        .groupBy(spark_partition_id().as("p"))
+        .agg((max($"y") - min($"y")).as("spread"))
+        .agg(avg($"spread")).head.getDouble(0)
+    val zClustered = ZOrder.clusterBy(df, $"x", $"y", parts = 16, bits = 6)
+    val xSorted = df.repartitionByRange(16, $"x", $"y")
+    val (zs, xs) = (avgYSpread(zClustered), avgYSpread(xSorted))
+    assert(zs < xs / 2, s"z-order y-spread $zs vs linear $xs")
+  }
+
   test("q_rep_filter flags a template-spam document") {
     import spark.implicits._
     val docs = Seq(
