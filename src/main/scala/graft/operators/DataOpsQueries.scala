@@ -46,6 +46,18 @@ object DataOpsQueries {
       .withColumn("sh", graft.plans.ShingleHashes.shingleHashes($"text"))
   }
 
+  /** Directed containment near-dups at C >= 4/5: catches "A quoted inside
+    * B" pairs whose Jaccard is diluted by B's extra content. The oracle
+    * brute-forces exact pair intersections (sf0.01 corpus), which also
+    * proves the prefix filter lossless.
+    */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      num = 4, den = 5, preHashed = true)
+      .orderBy($"doc_sub", $"doc_sup")
+  }
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
@@ -248,6 +260,7 @@ object DataOpsQueries {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -360,6 +373,21 @@ object DataOpsQueries {
          |GROUP BY a.doc_id, b.doc_id
          |HAVING COUNT(*) >= 5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH hs0 AS (
+         |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM hs0),
+         |p AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS common
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(hs) AS n FROM hs0)
+         |SELECT doc_sub, doc_sup, common, CAST(sz.n AS BIGINT) AS size_sub,
+         |  CAST(common AS DOUBLE) / sz.n AS containment
+         |FROM p JOIN sz ON p.doc_sub = sz.doc_id
+         |WHERE common * 5 >= sz.n * 4
+         |ORDER BY doc_sub, doc_sup""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH ${minhashChainSql(W)}
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs

@@ -102,6 +102,54 @@ object Dedup {
       .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / |A| ≥ t —
+    * the "document A is quoted/embedded inside B" shape that symmetric
+    * Jaccard misses when |B| ≫ |A| (boilerplate-wrapped copies, quote
+    * farms). Same posting-join discipline as [[jaccardPairs]] but with the
+    * containment prefix filter: the QUERY side only posts its
+    * `n - ceil(t·n) + 1` smallest hashes (any pair with C ≥ t must share
+    * one of them — else A∩B fits inside A's top `ceil(t·n) - 1` elements,
+    * a contradiction), while the INDEX side posts everything. Prefix
+    * length uses exact integer `ceil(t·n) = (num·n + den - 1) div den`
+    * so float rounding can never break the lossless guarantee.
+    *
+    * Emits directed pairs (doc_sub → doc_sup): `threshold = num/den`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
+      num: Int, den: Int, preHashed: Boolean = false): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    val sh =
+      if (preHashed) array_sort(col(shingleCol))
+      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+    val base = docs.select(col(idCol), sh.as("_sh"))
+      .withColumn("_n", size(col("_sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
+      val ceilTn = (col("_n") * num + (den - 1)) / den
+      val prefixLen = (col("_n") - ceilTn.cast("int") + 1)
+      val queryPosts = base.select(col(idCol).as("_a"),
+        explode(slice(col("_sh"), lit(1), prefixLen)).as("_h"))
+      val indexPosts = base.select(col(idCol).as("_b"),
+        explode(col("_sh")).as("_h"))
+      val candidates = queryPosts.join(indexPosts, "_h")
+        .filter(col("_a") =!= col("_b"))
+        .select(col("_a"), col("_b"))
+        .distinct()
+      val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
+        col("_n").as("_n_a"))
+      val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
+      candidates.join(aSide, "_a").join(bSide, "_b")
+        .withColumn("_c", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+        .filter(col("_c") * den >= col("_n_a") * num)
+        .select(col("_a").as("doc_sub"), col("_b").as("doc_sup"),
+          col("_c").cast("long").as("common"),
+          col("_n_a").cast("long").as("size_sub"),
+          (col("_c").cast("double") / col("_n_a")).as("containment"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
   /** One-permutation-hashing MinHash signature (Li et al.): each doc's
     * hashed shingles are exploded to rows, split into `numHashes` buckets
     * by hash residue, and sig[i] = MIN(h | h ≡ i) — one hash per shingle

@@ -148,6 +148,26 @@ class PackFreqSpec extends AnyFunSuite {
     assert(nd2 == ng2, "distinct doc should have all-unique bigrams")
   }
 
+  test("containment join catches a quoted document that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 400).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val shingled = docs.withColumn("sh",
+      array_distinct(transform(graft.operators.Dedup.wordShingles($"text"),
+        s => graft.functions.portableHash64(s))))
+    val cont = Dedup.containmentPairs(shingled, "doc_id", "sh",
+      num = 9, den = 10, preHashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // 1 ⊂ 2 fully: containment(1→2) = 1.0; Jaccard is ~18/320 ≈ 0.06
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    assert(!cont.exists { case (a, b, _) => a == 3L || b == 3L })
+    val jac = Dedup.jaccardPairs(shingled, "doc_id", "sh", Nil, 0.5,
+      preHashed = true).count()
+    assert(jac == 0, "Jaccard at 0.5 should miss the embedded quote")
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     import spark.implicits._
     val emb = graft.sources.Sources.embeddings(spark, sf)
