@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ Examples.queries ++ WindowQueries.queries ++
       DataOpsQueries.queries ++ Analytics.queries ++ TpchExt.queries ++
       CorpusOps.queries ++ Pack.queries ++ Freq.queries ++
-      Repetition.queries ++ Quantize.queries ++ ZOrder.queries
+      Repetition.queries ++ Quantize.queries ++ ZOrder.queries ++
+      Relevance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
     Relational.oracles ++ Examples.oracles ++ WindowQueries.oracles ++
       DataOpsQueries.oracles ++ Analytics.oracles ++ TpchExt.oracles ++
       CorpusOps.oracles ++ Pack.oracles ++ Freq.oracles ++
-      Repetition.oracles ++ Quantize.oracles ++ ZOrder.oracles
+      Repetition.oracles ++ Quantize.oracles ++ ZOrder.oracles ++
+      Relevance.oracles
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Sources
+
+/** Corpus relevance scoring: BM25-shaped ranking of documents against a
+  * term query — the retrieval primitive behind dedup-against-reference,
+  * quality-weighted sampling, and eval-set mining over a training corpus.
+  *
+  * Scale shape: one scan computes per-doc term frequencies for the (few)
+  * query terms as conditional aggregates — no posting-list explosion, no
+  * per-term joins; document frequencies and corpus stats are two tiny
+  * broadcast rows. Scoring is a pure projection.
+  *
+  * The idf factor is the RATIONAL variant `(N - df + 0.5) / (df + 0.5)`
+  * WITHOUT the usual log wrap: ranking-equivalent per term (monotone in
+  * df), and — unlike `ln` whose last-ulp rounding differs across libm
+  * implementations — exactly reproducible in any engine from IEEE
+  * divisions alone, which makes the whole scoring chain oracle-checkable.
+  */
+object Relevance {
+
+  /** Per-document BM25 score for `terms` (k1/b standard defaults).
+    * Expects a lower-cased-word-token column; emits (idCol, score, nw).
+    */
+  def bm25(docs: DataFrame, idCol: String, tokensCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = col(tokensCol)
+    // one scan: per-doc tf per term (conditional agg) + doc length
+    val tf = docs.select(
+      col(idCol) +: size(toks).cast("long").as("_nw") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, w => w === t)).cast("long").as(s"_tf$i")
+        }: _*)
+    // corpus stats: N, avg doclen, df per term — one tiny row, broadcast
+    val stats = tf.agg(
+      count(lit(1)).as("_n"), sum(col("_nw")).as("_sumw") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
+    val scored = tf.crossJoin(broadcast(stats))
+    val avgdl = col("_sumw").cast("double") / col("_n")
+    val score = terms.indices.map { i =>
+      val tfi = col(s"_tf$i").cast("double")
+      val idf = (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5)
+      val denom = tfi + lit(k1) * (lit(1.0 - b) + lit(b) * col("_nw") / avgdl)
+      idf * (tfi * (k1 + 1.0)) / denom
+    }.reduce(_ + _)
+    scored.select(col(idCol), score.as("score"), col("_nw").as("nw"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private val QueryTerms = Seq("the", "data", "model")
+
+  /** Top-20 documents for a 3-term query by log-free BM25. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Sources.documents(s, dir)
+      .withColumn("toks", wordTokens($"text"))
+    bm25(docs, "doc_id", "toks", QueryTerms)
+      .filter($"score" > 0)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_bm25" -> qBm25)
+
+  private val W =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" -> {
+      val termSql = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, w -> w = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val dfSql = QueryTerms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(", ")
+      val scoreSql = QueryTerms.indices.map { i =>
+        s"""((n - df$i + 0.5) / (df$i + 0.5)
+           | * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0))
+           | / (CAST(tf$i AS DOUBLE)
+           |    + 1.2 * (0.25 + 0.75 * nw / (CAST(sumw AS DOUBLE) / n))))"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $W AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nw, $termSql FROM t),
+         |st AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(nw) AS BIGINT) AS sumw, $dfSql
+         |  FROM tf)
+         |SELECT doc_id, $scoreSql AS score, nw
+         |FROM tf, st
+         |WHERE $scoreSql > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    })
+}
