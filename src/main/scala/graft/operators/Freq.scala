@@ -129,9 +129,32 @@ object Freq {
       .orderBy($"word")
   }
 
+  /** Per-group heavy hitters: one MG sketch PER SOURCE via an ordinary
+    * groupBy — keyed sketch state, the "state computation per key" shape
+    * with a native mergeable aggregate. The guarantee is checked within
+    * each group against that group's own N.
+    */
+  def qHeavyHittersBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 32
+    graft.plans.MisraGriesAgg.register(s, k)
+    val words = Sources.documents(s, dir)
+      .select($"source", explode(wordTokens($"text")).as("word"))
+    val sketches = words.groupBy($"source").agg(
+      graft.plans.MisraGriesAgg.misraGries($"word").as("mg"),
+      count(lit(1)).as("total"))
+    words.groupBy($"source", $"word").agg(count(lit(1)).as("n_word"))
+      .join(broadcast(sketches), "source")
+      .filter($"n_word" * (k + 1) > $"total")
+      .select($"source", $"word", $"n_word",
+        array_contains(map_keys($"mg"), $"word").as("in_sketch"))
+      .orderBy($"source", $"word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> qBloomJoin,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_heavy_hitters_by_source" -> qHeavyHittersBySource,
     "q_countmin" -> qCountMin)
 
   private val W =
@@ -152,6 +175,15 @@ object Freq {
          |SELECT word, n_word, true AS in_sketch
          |FROM c, tot WHERE n_word * 65 > total
          |ORDER BY word""".stripMargin,
+    "q_heavy_hitters_by_source" ->
+      s"""WITH w AS (SELECT source, unnest($W) AS word FROM documents),
+         |tot AS (SELECT source, COUNT(*) AS total FROM w GROUP BY source),
+         |c AS (SELECT source, word, COUNT(*) AS n_word
+         |      FROM w GROUP BY source, word)
+         |SELECT c.source, word, n_word, true AS in_sketch
+         |FROM c JOIN tot ON c.source = tot.source
+         |WHERE n_word * 33 > total
+         |ORDER BY c.source, word""".stripMargin,
     "q_countmin" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents)
          |SELECT word, COUNT(*) AS n_word,
