@@ -367,8 +367,24 @@ object Analytics {
       (abs(est - expr("percentile(value, 0.5)")) <= 0.5).as("sketch_ok"))
   }
 
+  /** Per-key mergeable quantile sketches: one histogram per event_type via
+    * an ordinary groupBy, each holding the one-bin-width error contract
+    * against its group's exact median.
+    */
+  def qHistQuantileGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.HistQuantileAgg.register(s, q = 0.5, lo = 0.0, hi = 1000.0,
+      bins = 2000)
+    val est = graft.plans.HistQuantileAgg.histQuantile($"value")
+    Sources.events(s, dir).groupBy($"event_type").agg(
+      expr("percentile(value, 0.5)").as("exact_p50"),
+      (abs(est - expr("percentile(value, 0.5)")) <= 0.5).as("sketch_ok"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hist_quantile" -> qHistQuantile,
+    "q_hist_quantile_group" -> qHistQuantileGroup,
     "q_volume_shipping" -> qVolumeShipping,
     "q_grouping_sets" -> qGroupingSets,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
@@ -405,6 +421,10 @@ object Analytics {
     "q_hist_quantile" ->
       """SELECT quantile_cont(value, 0.5) AS exact_p50, TRUE AS sketch_ok
         |FROM events""".stripMargin,
+    "q_hist_quantile_group" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS exact_p50,
+        |  TRUE AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,

@@ -141,6 +141,35 @@ object DataOpsQueries {
       .orderBy($"cid")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al.'s shape): train
+    * k-means buckets, find cosine near-dup pairs ONLY within buckets
+    * (the cluster pruning that makes semantic dedup sub-quadratic), chain
+    * them into clusters via connected components, keep one representative
+    * per cluster. Reports per-bucket corpus shrinkage. Every stage —
+    * quantized k-means, index-order cosine folds, min-label CC — is
+    * deterministic, so the oracle replays the entire pipeline in SQL
+    * (k-means CTEs + recursive-CTE closure).
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val assigned = emb.withColumn("bucket",
+      Similarity.argmaxCosine($"embedding", cents))
+    val pairs = Dedup.embeddingPairs(assigned, "vec_id", "embedding",
+      "bucket", 0.35)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val dropped = Dedup.dupClusters(pairs)
+      .filter($"id" =!= $"label").select($"id".as("vec_id"))
+      .withColumn("_drop", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"_drop".isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"bucket")
+  }
+
   /** Bucketed range join: views within ±30 s of each purchase (no equality
     * key — the shape that degenerates to a nested-loop join without the
     * bucket decomposition in [[RangeJoin]]).
@@ -272,6 +301,7 @@ object DataOpsQueries {
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,
     "q_kmeans_train" -> qKmeansTrain,
+    "q_semdedup" -> qSemDedup,
     "q_range_join" -> qRangeJoin)
 
   // Shared oracle fragments
@@ -549,6 +579,27 @@ object DataOpsQueries {
          |    ELSE 'de' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
     "q_kmeans_train" -> kmeansOracle,
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $kmeansChainSql,
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |ev AS (SELECT a.vec_id, a.cid, e.v
+         |       FROM asg a JOIN e ON a.vec_id = e.vec_id),
+         |pr AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM ev x JOIN ev y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE ${cos("x.v", "y.v")} >= 0.35),
+         |edges AS (SELECT a AS src, b AS dst FROM pr
+         |          UNION SELECT b, a FROM pr),
+         |reach(id, n) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e2.dst FROM reach r JOIN edges e2 ON r.n = e2.src),
+         |lbl AS (SELECT id, MIN(n) AS label FROM reach GROUP BY id),
+         |dropd AS (SELECT id FROM lbl WHERE id <> label)
+         |SELECT cid AS bucket, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN vec_id NOT IN (SELECT id FROM dropd)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM asg GROUP BY cid ORDER BY bucket""".stripMargin,
     "q_range_join" ->
       """WITH t AS (SELECT event_id, event_type, value,
         |  epoch_ns(ts) // 1000000000 AS ts_s FROM events)
@@ -564,7 +615,19 @@ object DataOpsQueries {
     * the strict-`>` lowest-cid tie rule) and a quantized per-dimension
     * mean update; empty clusters carry the previous centroid forward.
     */
-  private def kmeansOracle: String = {
+  private def kmeansOracle: String =
+    s"""WITH $kmeansChainSql,
+       |sz AS (SELECT cid, COUNT(*) AS n FROM af WHERE rn = 1 GROUP BY cid)
+       |SELECT c2.cid, COALESCE(sz.n, 0) AS n_members,
+       |  sqrt(list_sum(list_transform(range(1,65), i -> c[i]*c[i]))) AS cnorm
+       |FROM c2 LEFT JOIN sz ON c2.cid = sz.cid
+       |ORDER BY c2.cid""".stripMargin
+
+  /** The k-means training loop as a reusable CTE chain ending in
+    * `af(vec_id, cid, rn)` (final assignment = rows with rn = 1) and the
+    * trained centroids `c2(cid, c)`.
+    */
+  private def kmeansChainSql: String = {
     def cosSql(v: String, c: String) = {
       val dot = s"list_sum(list_transform(range(1,65), i -> CAST($v[i] AS DOUBLE)*$c[i]))"
       val vv = s"list_sum(list_transform(range(1,65), i -> CAST($v[i] AS DOUBLE)*CAST($v[i] AS DOUBLE)))"
@@ -590,7 +653,7 @@ object DataOpsQueries {
          |  SELECT p.cid, COALESCE(m.c, p.c) AS c
          |  FROM $prev p LEFT JOIN m$n m ON p.cid = m.cid)""".stripMargin
     val h = md("'km:'||vec_id")
-    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY $h, vec_id) - 1 AS BIGINT) AS cid,
        |    list_transform(v, x -> CAST(x AS DOUBLE)) AS c
@@ -601,11 +664,6 @@ object DataOpsQueries {
        |  SELECT vec_id, cid, ROW_NUMBER() OVER (
        |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
        |  FROM (SELECT e.vec_id, p.cid, ${cosSql("e.v", "p.c")} AS cos
-       |        FROM e CROSS JOIN c2 p)),
-       |sz AS (SELECT cid, COUNT(*) AS n FROM af WHERE rn = 1 GROUP BY cid)
-       |SELECT c2.cid, COALESCE(sz.n, 0) AS n_members,
-       |  sqrt(list_sum(list_transform(range(1,65), i -> c[i]*c[i]))) AS cnorm
-       |FROM c2 LEFT JOIN sz ON c2.cid = sz.cid
-       |ORDER BY c2.cid""".stripMargin
+       |        FROM e CROSS JOIN c2 p))""".stripMargin
   }
 }
