@@ -170,6 +170,21 @@ object DataOpsQueries {
       .orderBy($"bucket")
   }
 
+  /** REAL multimodal decode, oracle-verified: WAV/PNG media synthesized
+    * from pure integer formulas of the doc id, decoded through the actual
+    * JDK codecs (javax.sound / javax.imageio — both lossless), reduced to
+    * exact integer stats (unit count, value sum, position-weighted
+    * checksum). The oracle recomputes the formulas directly, so any codec
+    * -path corruption breaks the hash match.
+    */
+  def qMultimodalRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Sources.documents(s, dir).select($"doc_id").as[Long]
+    Multimodal.integerStats(Multimodal.mediaFromIds(ids))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   /** Bucketed range join: views within ±30 s of each purchase (no equality
     * key — the shape that degenerates to a nested-loop join without the
     * bucket decomposition in [[RangeJoin]]).
@@ -302,6 +317,7 @@ object DataOpsQueries {
     "q_text_langid" -> qTextLangid,
     "q_kmeans_train" -> qKmeansTrain,
     "q_semdedup" -> qSemDedup,
+    "q_multimodal_roundtrip" -> qMultimodalRoundtrip,
     "q_range_join" -> qRangeJoin)
 
   // Shared oracle fragments
@@ -579,6 +595,25 @@ object DataOpsQueries {
          |    ELSE 'de' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
     "q_kmeans_train" -> kmeansOracle,
+    "q_multimodal_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 800 ELSE 768 END AS BIGINT) AS n_units,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |    list_sum(list_transform(range(0, 800),
+        |      i -> abs((doc_id*17 + i*11) % 2001 - 1000)))
+        |  ELSE
+        |    list_sum(list_transform(range(0, 768),
+        |      i -> (doc_id*31 + (i % 32)*7 + (i // 32)*13) % 256))
+        |  END AS BIGINT) AS sum_v,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |    list_sum(list_transform(range(0, 800),
+        |      i -> ((doc_id*17 + i*11) % 2001 - 1000) * (i+1)))
+        |  ELSE
+        |    list_sum(list_transform(range(0, 768),
+        |      i -> ((doc_id*31 + (i % 32)*7 + (i // 32)*13) % 256) * (i+1)))
+        |  END AS BIGINT) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_semdedup" ->
       s"""WITH RECURSIVE $kmeansChainSql,
          |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),

@@ -186,6 +186,73 @@ object Multimodal {
     }
   }
 
+  case class MediaIntStats(media_id: Long, kind: String, n_units: Long,
+      sum_v: Long, checksum: Long)
+
+  implicit val statsEnc: Encoder[MediaIntStats] = Encoders.product[MediaIntStats]
+
+  /** Decode to EXACT integer statistics: per medium, the unit count
+    * (samples / pixels), the sum of decoded values, and a position-weighted
+    * checksum — all integers, so a SQL oracle that knows the synthesis
+    * formula can verify the REAL codec roundtrip (PNG and WAV are
+    * lossless) bit-for-bit without any float accumulation.
+    */
+  def integerStats(media: Dataset[Media]): Dataset[MediaIntStats] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        m.kind match {
+          case "audio" =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.bytes))
+            val pcm = in.readAllBytes()
+            in.close()
+            val n = pcm.length / 2
+            var sum = 0L; var chk = 0L
+            var i = 0
+            while (i < n) {
+              val s = (((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)).toShort).toLong
+              sum += math.abs(s)
+              chk += s * (i + 1)
+              i += 1
+            }
+            MediaIntStats(m.media_id, m.kind, n, sum, chk)
+          case "image" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.bytes))
+            require(img != null, "undecodable image bytes")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L; var chk = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (img.getRGB(x, y) & 0xff).toLong
+                val pos = y.toLong * w + x
+                sum += v
+                chk += v * (pos + 1)
+                x += 1
+              }
+              y += 1
+            }
+            MediaIntStats(m.media_id, m.kind, w.toLong * h, sum, chk)
+          case other =>
+            throw new IllegalArgumentException(s"integerStats: kind '$other'")
+        }
+      }
+    }
+
+  /** Media corpus keyed by an id column: even ids get real WAV audio,
+    * odd ids real PNG images — content a pure integer function of the id,
+    * mirrored by the SQL oracle.
+    */
+  def mediaFromIds(ids: Dataset[Long]): Dataset[Media] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      if (id % 2 == 0) Media(id, "audio", wavBytes(id, 800), 0, 0, 8000, 0)
+      else Media(id, "image", pngBytes(id, 32, 24), 32, 24, 0, 1)
+    }
+  }
+
   private def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
