@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Sources
+
+/** Product quantization (PQ) for embedding compression: split each vector
+  * into `m` subspaces, train a tiny codebook per subspace, and store each
+  * vector as `m` small codes — the memory layout behind billion-scale ANN
+  * indexes (IVF-PQ).
+  *
+  * This implementation trains over the int8-quantized codes from
+  * [[Quantize]] with ALL-INTEGER arithmetic: seeds by salted-hash rank,
+  * assignment by integer squared-L2 argmin (ties → lowest centroid id),
+  * centroid updates by element-wise floor-division means. Every step is
+  * partitioning-independent and engine-exact, so the full training loop +
+  * encoding is replayed by the SQL oracle with zero float tolerance.
+  *
+  * Scale shape: codebooks are tiny (m·k subvectors, driver-held literals);
+  * each training round is one scan with map-side-combining per-dimension
+  * sums; encoding is a pure projection. The corpus never shuffles.
+  */
+object Pq {
+
+  /** Integer squared-L2 between a sliced code column and a literal
+    * centroid, as a fixed-order sum of 'sub' squared diffs.
+    */
+  private def distExpr(sc: Column, cent: Array[Long]): Column =
+    cent.indices.map { j =>
+      val d = element_at(sc, j + 1) - lit(cent(j))
+      d * d
+    }.reduce(_ + _)
+
+  /** Nearest centroid id by integer L2 (strict < keeps the lowest cid). */
+  private def argminExpr(sc: Column, cents: Seq[(Long, Array[Long])]): Column = {
+    val init = struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))
+    cents.sortBy(_._1).foldLeft(init) { case (acc, (cid, c)) =>
+      val d = distExpr(sc, c)
+      when(d < acc.getField("d"),
+        struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
+    }.getField("cid")
+  }
+
+  /** Train one subspace codebook (k centroids, `iters` rounds) over the
+    * sliced code column of `coded`; returns cid → centroid codes.
+    */
+  private def trainSubspace(coded: DataFrame, subIdx: Int, subDim: Int,
+      k: Int, iters: Int): Seq[(Long, Array[Long])] = {
+    val sc = slice(col("codes"), subIdx * subDim + 1, subDim)
+    val salted = portableHash64(concat(lit(s"pq$subIdx:"), col("vec_id")))
+    val seeds = coded.select(col("vec_id"), sc.as("sc"), salted.as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .collect()
+    var cents: Seq[(Long, Array[Long])] = seeds.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Long](1).toArray)
+    }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = coded.select(sc.as("sc"))
+        .withColumn("cid", argminExpr(col("sc"), cents))
+      val sums = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
+          sum(element_at(col("sc"), j + 1)).as(s"s$j")): _*)
+        .collect()
+      val updated = sums.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), Array.tabulate(subDim)(j => r.getLong(j + 2) / n))
+      }.toMap
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** Full PQ training + encoding report: per (subspace, centroid), member
+    * count and total integer distortion.
+    */
+  def trainAndEncode(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    val (mins, maxs) = Quantize.dimRanges(emb, vecCol, dim)
+    val codeArr = array((0 until dim).map { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      val code =
+        if (maxs(i) == mins(i)) lit(0.0)
+        else least(lit(255.0),
+          floor((x - lit(mins(i))) / lit(maxs(i) - mins(i)) * 255.0))
+      code.cast("long")
+    }: _*)
+    val coded = emb.select(col(idCol).as("vec_id"), codeArr.as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subDim = dim / m
+      val reports = (0 until m).map { s0 =>
+        val cents = trainSubspace(coded, s0, subDim, k, iters)
+        val sc = slice(col("codes"), s0 * subDim + 1, subDim)
+        val best = cents.sortBy(_._1).foldLeft(
+          struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))) {
+          case (acc, (cid, c)) =>
+            val d = distExpr(sc, c)
+            when(d < acc.getField("d"),
+              struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
+        }
+        coded.select(best.getField("cid").as("cid"), best.getField("d").as("d"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sum_dist"))
+          .select(lit(s0.toLong).as("sub"), col("cid"), col("n_vecs"),
+            col("sum_dist"))
+      }
+      reports.reduce(_ union _).localCheckpoint(true)
+    } finally coded.unpersist()
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** PQ codebook report: 8 subspaces x 4 centroids over the int8-coded
+    * 64-dim embeddings, 1 training round.
+    */
+  def qPqTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainAndEncode(Sources.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1)
+      .orderBy($"sub", $"cid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_pq_train" -> qPqTrain)
+
+  private def md(e: String) = portableHash64Sql(e)
+
+  val oracles: Map[String, String] = Map("q_pq_train" -> pqOracle)
+
+  /** The full integer PQ pipeline in SQL: int8 codes, per-subspace seed
+    * selection by hash rank, one argmin-assign + floor-mean round, final
+    * encode, per-(sub, cid) distortion report.
+    */
+  private def pqOracle: String = {
+    def subChain(s0: Int): String = {
+      val lo = s0 * 8 + 1; val hi = s0 * 8 + 8
+      val dist = (1 to 8).map(j =>
+        s"(s.sc[$j]-p.cent[$j])*(s.sc[$j]-p.cent[$j])").mkString(" + ")
+      val distF = (1 to 8).map(j =>
+        s"(s.sc[$j]-p.cent[$j])*(s.sc[$j]-p.cent[$j])").mkString(" + ")
+      s"""sub$s0 AS (SELECT vec_id, c[$lo:$hi] AS sc FROM codes),
+         |seed$s0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         |    sc AS cent
+         |  FROM (SELECT vec_id, sc, ${md(s"'pq$s0:'||vec_id")} AS h
+         |        FROM sub$s0 ORDER BY h, vec_id LIMIT 4)),
+         |a$s0 AS (
+         |  SELECT vec_id, sc, cid, d, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM (SELECT s.vec_id, s.sc, p.cid, $dist AS d
+         |        FROM sub$s0 s CROSS JOIN seed$s0 p)),
+         |u$s0 AS (
+         |  SELECT cid, j, SUM(sc[j]) AS sm, COUNT(*) AS n
+         |  FROM (SELECT cid, sc, unnest(range(1, 9)) AS j
+         |        FROM a$s0 WHERE rn = 1)
+         |  GROUP BY cid, j),
+         |m$s0 AS (SELECT cid, list(sm // n ORDER BY j) AS cent
+         |         FROM u$s0 GROUP BY cid),
+         |cb$s0 AS (
+         |  SELECT p.cid, COALESCE(m.cent, p.cent) AS cent
+         |  FROM seed$s0 p LEFT JOIN m$s0 m ON p.cid = m.cid),
+         |f$s0 AS (
+         |  SELECT vec_id, cid, d, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM (SELECT s.vec_id, p.cid, $distF AS d
+         |        FROM sub$s0 s CROSS JOIN cb$s0 p)),
+         |r$s0 AS (
+         |  SELECT CAST($s0 AS BIGINT) AS sub, cid, COUNT(*) AS n_vecs,
+         |    CAST(SUM(d) AS BIGINT) AS sum_dist
+         |  FROM f$s0 WHERE rn = 1 GROUP BY cid)""".stripMargin
+    }
+    val chains = (0 until 8).map(subChain).mkString(",\n")
+    val unions = (0 until 8).map(s0 => s"SELECT * FROM r$s0")
+      .mkString(" UNION ALL ")
+    s"""WITH dims AS (
+       |  SELECT i, MIN(CAST(v[i] AS DOUBLE)) AS mn, MAX(CAST(v[i] AS DOUBLE)) AS mx
+       |  FROM (SELECT embedding AS v FROM embeddings)
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY i),
+       |rng AS (
+       |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       |  FROM dims),
+       |codes AS (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    CAST(CASE WHEN mxs[i] = mns[i] THEN 0.0 ELSE
+       |      least(255.0, floor((CAST(v[i] AS DOUBLE) - mns[i])
+       |        / (mxs[i] - mns[i]) * 255.0)) END AS BIGINT)) AS c
+       |  FROM (SELECT vec_id, embedding AS v FROM embeddings) CROSS JOIN rng),
+       |$chains
+       |SELECT sub, cid, n_vecs, sum_dist FROM ($unions)
+       |ORDER BY sub, cid""".stripMargin
+  }
+}
