@@ -24,13 +24,14 @@ import graft.sources.Sources
 object Pq {
 
   /** Integer squared-L2 between a sliced code column and a literal
-    * centroid, as a fixed-order sum of 'sub' squared diffs.
+    * centroid — a zip-fold (the array argument is evaluated once; the
+    * expression tree stays small, which keeps the 8-subspace fused plans
+    * cheap to optimize/compile).
     */
   private def distExpr(sc: Column, cent: Array[Long]): Column =
-    cent.indices.map { j =>
-      val d = element_at(sc, j + 1) - lit(cent(j))
-      d * d
-    }.reduce(_ + _)
+    aggregate(
+      zip_with(sc, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
 
   /** Nearest centroid id by integer L2 (strict < keeps the lowest cid). */
   private def argminExpr(sc: Column, cents: Seq[(Long, Array[Long])]): Column = {
@@ -42,38 +43,22 @@ object Pq {
     }.getField("cid")
   }
 
-  /** Train one subspace codebook (k centroids, `iters` rounds) over the
-    * sliced code column of `coded`; returns cid → centroid codes.
-    */
-  private def trainSubspace(coded: DataFrame, subIdx: Int, subDim: Int,
-      k: Int, iters: Int): Seq[(Long, Array[Long])] = {
-    val sc = slice(col("codes"), subIdx * subDim + 1, subDim)
-    val salted = portableHash64(concat(lit(s"pq$subIdx:"), col("vec_id")))
-    val seeds = coded.select(col("vec_id"), sc.as("sc"), salted.as("h"))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-      .collect()
-    var cents: Seq[(Long, Array[Long])] = seeds.zipWithIndex.map {
-      case (r, i) => (i.toLong, r.getSeq[Long](1).toArray)
-    }.toSeq
-    for (_ <- 0 until iters) {
-      val assigned = coded.select(sc.as("sc"))
-        .withColumn("cid", argminExpr(col("sc"), cents))
-      val sums = assigned.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
-          sum(element_at(col("sc"), j + 1)).as(s"s$j")): _*)
-        .collect()
-      val updated = sums.map { r =>
-        val n = r.getLong(1)
-        (r.getLong(0), Array.tabulate(subDim)(j => r.getLong(j + 2) / n))
-      }.toMap
-      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+  /** Best (cid, d) struct for a sliced code column against a codebook. */
+  private def bestStruct(sc: Column, cents: Seq[(Long, Array[Long])]): Column =
+    cents.sortBy(_._1).foldLeft(
+      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))) {
+      case (acc, (cid, c)) =>
+        val d = distExpr(sc, c)
+        when(d < acc.getField("d"),
+          struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
     }
-    cents
-  }
 
   /** Full PQ training + encoding report: per (subspace, centroid), member
-    * count and total integer distortion.
+    * count and total integer distortion. ALL subspaces are processed in
+    * each job — seeds are `m` shuffle-free TakeOrdered top-k's; the
+    * training round and the final encode are ONE scan each (the per-sub
+    * assignments are exploded and aggregated together with map-side
+    * combine), so job count is independent of `m`.
     */
   def trainAndEncode(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
@@ -90,23 +75,50 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val subDim = dim / m
-      val reports = (0 until m).map { s0 =>
-        val cents = trainSubspace(coded, s0, subDim, k, iters)
-        val sc = slice(col("codes"), s0 * subDim + 1, subDim)
-        val best = cents.sortBy(_._1).foldLeft(
-          struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))) {
-          case (acc, (cid, c)) =>
-            val d = distExpr(sc, c)
-            when(d < acc.getField("d"),
-              struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
+      def subSlice(s0: Int) = slice(col("codes"), s0 * subDim + 1, subDim)
+      // seeds: per subspace, the k lowest salted hashes — TakeOrdered
+      // (per-partition top-k merged on the driver), no shuffle
+      var books: Array[Seq[(Long, Array[Long])]] = (0 until m).map { s0 =>
+        val salted = portableHash64(concat(lit(s"pq$s0:"), col("vec_id")))
+        coded.select(col("vec_id"), subSlice(s0).as("sc"), salted.as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(k).collect()
+          .zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }.toSeq
+      }.toArray
+      // each round: ONE scan — explode per-sub (cid, sc), aggregate
+      // per-dimension sums for every (sub, cid) with map-side combine
+      for (_ <- 0 until iters) {
+        val perSub = array((0 until m).map { s0 =>
+          struct(lit(s0.toLong).as("sub"),
+            bestStruct(subSlice(s0), books(s0)).getField("cid").as("cid"),
+            subSlice(s0).as("sc"))
+        }: _*)
+        val sums = coded.select(explode(perSub).as("a"))
+          .select(col("a.sub"), col("a.cid"), col("a.sc"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
+            sum(element_at(col("sc"), j + 1)).as(s"s$j")): _*)
+          .collect()
+        val updated = sums.map { r =>
+          val n = r.getLong(2)
+          ((r.getLong(0).toInt, r.getLong(1)),
+            Array.tabulate(subDim)(j => r.getLong(j + 3) / n))
+        }.toMap
+        books = books.zipWithIndex.map { case (cents, s0) =>
+          cents.map { case (cid, old) =>
+            (cid, updated.getOrElse((s0, cid), old))
+          }
         }
-        coded.select(best.getField("cid").as("cid"), best.getField("d").as("d"))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sum_dist"))
-          .select(lit(s0.toLong).as("sub"), col("cid"), col("n_vecs"),
-            col("sum_dist"))
       }
-      reports.reduce(_ union _).localCheckpoint(true)
+      // final encode + distortion report: one scan
+      val perSub = array((0 until m).map { s0 =>
+        struct(lit(s0.toLong).as("sub"), bestStruct(subSlice(s0), books(s0)).as("b"))
+      }: _*)
+      coded.select(explode(perSub).as("a"))
+        .select(col("a.sub"), col("a.b.cid").as("cid"), col("a.b.d").as("d"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sum_dist"))
+        .localCheckpoint(true)
     } finally coded.unpersist()
   }
 
