@@ -168,6 +168,18 @@ class PackFreqSpec extends AnyFunSuite {
     assert(jac == 0, "Jaccard at 0.5 should miss the embedded quote")
   }
 
+  test("PQ training is partitioning-invariant (integer arithmetic end to end)") {
+    import spark.implicits._
+    val emb = graft.sources.Sources.embeddings(spark, sf)
+    def report(parts: Int) =
+      Pq.trainAndEncode(emb.repartition(parts), "vec_id", "embedding",
+        dim = 64, m = 4, k = 2, iters = 1)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+    assert(report(1) == report(7))
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     import spark.implicits._
     val emb = graft.sources.Sources.embeddings(spark, sf)
