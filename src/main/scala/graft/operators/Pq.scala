@@ -23,36 +23,6 @@ import graft.sources.Sources
   */
 object Pq {
 
-  /** Integer squared-L2 between a sliced code column and a literal
-    * centroid — a zip-fold (the array argument is evaluated once; the
-    * expression tree stays small, which keeps the 8-subspace fused plans
-    * cheap to optimize/compile).
-    */
-  private def distExpr(sc: Column, cent: Array[Long]): Column =
-    aggregate(
-      zip_with(sc, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** Nearest centroid id by integer L2 (strict < keeps the lowest cid). */
-  private def argminExpr(sc: Column, cents: Seq[(Long, Array[Long])]): Column = {
-    val init = struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))
-    cents.sortBy(_._1).foldLeft(init) { case (acc, (cid, c)) =>
-      val d = distExpr(sc, c)
-      when(d < acc.getField("d"),
-        struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
-    }.getField("cid")
-  }
-
-  /** Best (cid, d) struct for a sliced code column against a codebook. */
-  private def bestStruct(sc: Column, cents: Seq[(Long, Array[Long])]): Column =
-    cents.sortBy(_._1).foldLeft(
-      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("d"))) {
-      case (acc, (cid, c)) =>
-        val d = distExpr(sc, c)
-        when(d < acc.getField("d"),
-          struct(lit(cid).as("cid"), d.as("d"))).otherwise(acc)
-    }
-
   /** Full PQ training + encoding report: per (subspace, centroid), member
     * count and total integer distortion. ALL subspaces are processed in
     * each job — seeds are `m` shuffle-free TakeOrdered top-k's; the
@@ -76,28 +46,40 @@ object Pq {
     try {
       val subDim = dim / m
       def subSlice(s0: Int) = slice(col("codes"), s0 * subDim + 1, subDim)
-      // seeds: per subspace, the k lowest salted hashes — TakeOrdered
-      // (per-partition top-k merged on the driver), no shuffle
+      // seeds for ALL subspaces in one job: the rn<=k window filter plans
+      // as WindowGroupLimit — per-partition top-k BEFORE the (tiny)
+      // shuffle, the scale-correct two-phase selection
+      val seedStructs = array((0 until m).map { s0 =>
+        struct(lit(s0.toLong).as("sub"),
+          portableHash64(concat(lit(s"pq$s0:"), col("vec_id"))).as("h"),
+          col("vec_id").as("vec_id"), subSlice(s0).as("sc"))
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))
+      val seedRows = coded.select(explode(seedStructs).as("a"))
+        .select(col("a.sub"), col("a.h"), col("a.vec_id"), col("a.sc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect()
       var books: Array[Seq[(Long, Array[Long])]] = (0 until m).map { s0 =>
-        val salted = portableHash64(concat(lit(s"pq$s0:"), col("vec_id")))
-        coded.select(col("vec_id"), subSlice(s0).as("sc"), salted.as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(k).collect()
+        seedRows.filter(_.getLong(0) == s0.toLong)
+          .sortBy(r => (r.getLong(1), r.getLong(2)))
           .zipWithIndex
-          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }.toSeq
+          .map { case (r, i) => (i.toLong, r.getSeq[Long](3).toArray) }.toSeq
       }.toArray
-      // each round: ONE scan — explode per-sub (cid, sc), aggregate
-      // per-dimension sums for every (sub, cid) with map-side combine
+      // each round: ONE scan — the native one-pass encoder assigns every
+      // subspace, then per-dimension sums aggregate with map-side combine
+      val spark = coded.sparkSession
       for (_ <- 0 until iters) {
-        val perSub = array((0 until m).map { s0 =>
-          struct(lit(s0.toLong).as("sub"),
-            bestStruct(subSlice(s0), books(s0)).getField("cid").as("cid"),
-            subSlice(s0).as("sc"))
-        }: _*)
-        val sums = coded.select(explode(perSub).as("a"))
-          .select(col("a.sub"), col("a.cid"), col("a.sc"))
+        graft.plans.PqEncode.register(spark, books.toSeq, subDim)
+        val sums = coded
+          .select(col("codes"),
+            explode(graft.plans.PqEncode.encode(col("codes"))).as("a"))
+          .select(col("codes"), col("a.sub").as("sub"), col("a.cid").as("cid"))
           .groupBy(col("sub"), col("cid"))
           .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
-            sum(element_at(col("sc"), j + 1)).as(s"s$j")): _*)
+            sum(element_at(col("codes"),
+              (col("sub") * subDim + (j + 1)).cast("int"))).as(s"s$j")): _*)
           .collect()
         val updated = sums.map { r =>
           val n = r.getLong(2)
@@ -111,11 +93,10 @@ object Pq {
         }
       }
       // final encode + distortion report: one scan
-      val perSub = array((0 until m).map { s0 =>
-        struct(lit(s0.toLong).as("sub"), bestStruct(subSlice(s0), books(s0)).as("b"))
-      }: _*)
-      coded.select(explode(perSub).as("a"))
-        .select(col("a.sub"), col("a.b.cid").as("cid"), col("a.b.d").as("d"))
+      graft.plans.PqEncode.register(spark, books.toSeq, subDim)
+      coded.select(explode(graft.plans.PqEncode.encode(col("codes"))).as("a"))
+        .select(col("a.sub").as("sub"), col("a.cid").as("cid"),
+          col("a.d").as("d"))
         .groupBy(col("sub"), col("cid"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sum_dist"))
         .localCheckpoint(true)
