@@ -18,6 +18,9 @@ object Bench {
       val w = "/root/testdata/sf0.001"
       SparkEntry.queries("q3_shipping_priority")(spark, w).count()
       SparkEntry.queries("q_dedup_minhash")(spark, w).count()
+      // the quantize/PqEncode/per-dim-sum shapes behind q_pq_train +
+      // q_ann_ivfpq — codegen-heavy wide projections worth one small run
+      SparkEntry.queries("q_pq_train")(spark, w).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }

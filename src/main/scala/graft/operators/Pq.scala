@@ -23,15 +23,11 @@ import graft.sources.Sources
   */
 object Pq {
 
-  /** Full PQ training + encoding report: per (subspace, centroid), member
-    * count and total integer distortion. ALL subspaces are processed in
-    * each job — seeds are `m` shuffle-free TakeOrdered top-k's; the
-    * training round and the final encode are ONE scan each (the per-sub
-    * assignments are exploded and aggregated together with map-side
-    * combine), so job count is independent of `m`.
+  /** int8-quantize an embedding column into `(vec_id, codes)` — the
+    * integer domain every PQ/IVF step trains and encodes over.
     */
-  def trainAndEncode(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+  def quantizeCodes(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
     val (mins, maxs) = Quantize.dimRanges(emb, vecCol, dim)
     val codeArr = array((0 until dim).map { i =>
       val x = element_at(col(vecCol), i + 1).cast("double")
@@ -41,58 +37,86 @@ object Pq {
           floor((x - lit(mins(i))) / lit(maxs(i) - mins(i)) * 255.0))
       code.cast("long")
     }: _*)
-    val coded = emb.select(col(idCol).as("vec_id"), codeArr.as("codes"))
+    emb.select(col(idCol).as("vec_id"), codeArr.as("codes"))
+  }
+
+  /** Train `m` per-subspace codebooks of `k` centroids over an integer
+    * `(vec_id, codes)` frame (subspace s = codes[s·subDim+1 .. (s+1)·subDim]).
+    * Seeds are the `k` lowest `salt`-prefixed portable hashes per subspace
+    * — selected for ALL subspaces in ONE job (the rn<=k window filter
+    * plans as WindowGroupLimit: per-partition top-k BEFORE the tiny
+    * shuffle, the scale-correct two-phase selection). Each Lloyd round is
+    * ONE scan: the native one-pass encoder assigns every subspace, then
+    * per-dimension sums aggregate with map-side combine; updates are
+    * floor-division means, so the whole loop is integer-exact and
+    * partitioning-independent. With m=1 this is a plain coarse quantizer
+    * trainer (the IVF case).
+    */
+  def trainBooks(coded: DataFrame, subDim: Int, m: Int, k: Int, iters: Int,
+      salt: String): Array[Seq[(Long, Array[Long])]] = {
+    def subSlice(s0: Int) = slice(col("codes"), s0 * subDim + 1, subDim)
+    val seedStructs = array((0 until m).map { s0 =>
+      struct(lit(s0.toLong).as("sub"),
+        portableHash64(concat(lit(s"$salt$s0:"), col("vec_id"))).as("h"),
+        col("vec_id").as("vec_id"), subSlice(s0).as("sc"))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))
+    val seedRows = coded.select(explode(seedStructs).as("a"))
+      .select(col("a.sub"), col("a.h"), col("a.vec_id"), col("a.sc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .collect()
+    var books: Array[Seq[(Long, Array[Long])]] = (0 until m).map { s0 =>
+      seedRows.filter(_.getLong(0) == s0.toLong)
+        .sortBy(r => (r.getLong(1), r.getLong(2)))
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](3).toArray) }.toSeq
+    }.toArray
+    val spark = coded.sparkSession
+    val fname = s"pq_train_$salt"
+    for (_ <- 0 until iters) {
+      graft.plans.PqEncode.register(spark, books.toSeq, subDim, fname)
+      val sums = coded
+        .select(col("codes"),
+          explode(graft.plans.PqEncode.encode(col("codes"), fname)).as("a"))
+        .select(col("codes"), col("a.sub").as("sub"), col("a.cid").as("cid"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
+          sum(element_at(col("codes"),
+            (col("sub") * subDim + (j + 1)).cast("int"))).as(s"s$j")): _*)
+        .collect()
+      // Java `/` truncates toward zero — exactly DuckDB's integer `//`
+      // (NOT floor division), which matters once residual codes go
+      // negative: -63/2 = -31 in both engines
+      val updated = sums.map { r =>
+        val n = r.getLong(2)
+        ((r.getLong(0).toInt, r.getLong(1)),
+          Array.tabulate(subDim)(j => r.getLong(j + 3) / n))
+      }.toMap
+      books = books.zipWithIndex.map { case (cents, s0) =>
+        cents.map { case (cid, old) =>
+          (cid, updated.getOrElse((s0, cid), old))
+        }
+      }
+    }
+    books
+  }
+
+  /** Full PQ training + encoding report: per (subspace, centroid), member
+    * count and total integer distortion. ALL subspaces are processed in
+    * each job; the training round and the final encode are ONE scan each,
+    * so job count is independent of `m`.
+    */
+  def trainAndEncode(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    val coded = quantizeCodes(emb, idCol, vecCol, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val subDim = dim / m
-      def subSlice(s0: Int) = slice(col("codes"), s0 * subDim + 1, subDim)
-      // seeds for ALL subspaces in one job: the rn<=k window filter plans
-      // as WindowGroupLimit — per-partition top-k BEFORE the (tiny)
-      // shuffle, the scale-correct two-phase selection
-      val seedStructs = array((0 until m).map { s0 =>
-        struct(lit(s0.toLong).as("sub"),
-          portableHash64(concat(lit(s"pq$s0:"), col("vec_id"))).as("h"),
-          col("vec_id").as("vec_id"), subSlice(s0).as("sc"))
-      }: _*)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))
-      val seedRows = coded.select(explode(seedStructs).as("a"))
-        .select(col("a.sub"), col("a.h"), col("a.vec_id"), col("a.sc"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .collect()
-      var books: Array[Seq[(Long, Array[Long])]] = (0 until m).map { s0 =>
-        seedRows.filter(_.getLong(0) == s0.toLong)
-          .sortBy(r => (r.getLong(1), r.getLong(2)))
-          .zipWithIndex
-          .map { case (r, i) => (i.toLong, r.getSeq[Long](3).toArray) }.toSeq
-      }.toArray
-      // each round: ONE scan — the native one-pass encoder assigns every
-      // subspace, then per-dimension sums aggregate with map-side combine
-      val spark = coded.sparkSession
-      for (_ <- 0 until iters) {
-        graft.plans.PqEncode.register(spark, books.toSeq, subDim)
-        val sums = coded
-          .select(col("codes"),
-            explode(graft.plans.PqEncode.encode(col("codes"))).as("a"))
-          .select(col("codes"), col("a.sub").as("sub"), col("a.cid").as("cid"))
-          .groupBy(col("sub"), col("cid"))
-          .agg(count(lit(1)).as("n"), (0 until subDim).map(j =>
-            sum(element_at(col("codes"),
-              (col("sub") * subDim + (j + 1)).cast("int"))).as(s"s$j")): _*)
-          .collect()
-        val updated = sums.map { r =>
-          val n = r.getLong(2)
-          ((r.getLong(0).toInt, r.getLong(1)),
-            Array.tabulate(subDim)(j => r.getLong(j + 3) / n))
-        }.toMap
-        books = books.zipWithIndex.map { case (cents, s0) =>
-          cents.map { case (cid, old) =>
-            (cid, updated.getOrElse((s0, cid), old))
-          }
-        }
-      }
+      val books = trainBooks(coded, subDim, m, k, iters, salt = "pq")
       // final encode + distortion report: one scan
+      val spark = coded.sparkSession
       graft.plans.PqEncode.register(spark, books.toSeq, subDim)
       coded.select(explode(graft.plans.PqEncode.encode(col("codes"))).as("a"))
         .select(col("a.sub").as("sub"), col("a.cid").as("cid"),

@@ -68,12 +68,17 @@ case class PqEncode(child: Expression, books: Seq[Seq[(Long, Array[Long])]],
 }
 
 object PqEncode {
-  /** (Re-)register with the CURRENT codebooks — call before each use. */
+  /** (Re-)register with the CURRENT codebooks — call before each use.
+    * Distinct `name`s let one query plan hold independently-frozen
+    * encoders (e.g. an IVF coarse quantizer plus a residual PQ encoder)
+    * without register-order coupling: resolution happens eagerly when the
+    * DataFrame referencing the name is built.
+    */
   def register(spark: SparkSession, books: Seq[Seq[(Long, Array[Long])]],
-      subDim: Int): Unit =
+      subDim: Int, name: String = "pq_encode"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs.head, books, subDim), "built-in")
+      name, exprs => PqEncode(exprs.head, books, subDim), "built-in")
 
-  def encode(codes: Column): Column =
-    org.apache.spark.sql.functions.call_function("pq_encode", codes)
+  def encode(codes: Column, name: String = "pq_encode"): Column =
+    org.apache.spark.sql.functions.call_function(name, codes)
 }

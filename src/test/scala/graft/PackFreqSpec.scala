@@ -191,4 +191,21 @@ class PackFreqSpec extends AnyFunSuite {
     // per-dim error < step (floor quantization) → sq err < dim * step^2
     assert(worst < dim * maxStep * maxStep, s"worst=$worst step=$maxStep")
   }
+
+  test("IVF-PQ probe is partitioning-invariant and prunes to nprobe buckets") {
+    import spark.implicits._
+    val emb = graft.sources.Sources.embeddings(spark, sf)
+    def run(parts: Int) =
+      IvfPq.search(emb.repartition(parts), "vec_id", "embedding", dim = 64,
+        coarseK = 4, coarseIters = 1, m = 4, pqK = 4, pqIters = 1,
+        queryId = 7L, nprobe = 2, topK = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run(1)
+    assert(a.toSeq == run(5).toSeq, "partitioning changed the probe result")
+    assert(a.length == 10)
+    assert(a.map(_._3).distinct.length <= 2, "more buckets than nprobe")
+    assert(!a.exists(_._2 == 7L), "query vector not excluded")
+    assert(a.map(_._4).toSeq == a.map(_._4).sorted.toSeq, "not sorted by ADC")
+  }
 }
