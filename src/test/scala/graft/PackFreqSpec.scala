@@ -208,4 +208,18 @@ class PackFreqSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == 7L), "query vector not excluded")
     assert(a.map(_._4).toSeq == a.map(_._4).sorted.toSeq, "not sorted by ADC")
   }
+
+  test("BPE merges the most frequent pair first and is partitioning-invariant") {
+    import spark.implicits._
+    // 'aaab' x3, 'ab' x2: round 1 must merge "a a" (count 2*3=6, beating
+    // "a b" at 3+2=5); round 2 then sees 'aa a b' etc.
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == (1L, "a a", "aa", 6L))
+    val again = Bpe.trainMerges(docs.repartition(4), "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == again.toSeq)
+  }
 }
