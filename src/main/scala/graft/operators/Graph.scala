@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Iterative graph analytics over relationship edges mined from the
+  * relational tables — the Pregel-on-DataFrames shape: each iteration is
+  * ranks ⋈ edges (shuffle on src) + an aggregate of contributions
+  * (map-side-combining shuffle on dst). Edges are computed once and
+  * persisted; the per-iteration state is one (node, rank) row per node.
+  *
+  * Ranks are SCALED INTEGERS (SCALE=1e12) with truncating division at
+  * every step — Java `/` and DuckDB `//` agree — so the whole power
+  * iteration is order-independent, partitioning-independent, and replays
+  * exactly in the SQL oracle. Dangling-node mass is dropped (the classic
+  * simplification), identically in both engines.
+  */
+object Graph {
+
+  private val Scale = 1000000000000L // 1e12
+
+  /** `iters` rounds of damped PageRank (d = 85/100) over an integer edge
+    * list. Returns (node, rank) for every node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    // fuse out-degree into the edge list ONCE (every src has deg ≥ 1, so
+    // the inner join keeps all edges) — each iteration then needs a
+    // single src-join instead of two
+    val ewd = e
+      .join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ewd.select($"src".as("node"))
+      .union(ewd.select($"dst".as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      val init = Scale / n
+      val base = 15L * init / 100L
+      var ranks = nodes.select($"node", lit(init).as("rank"))
+      for (_ <- 0 until iters) {
+        // `div`, not `/`: Column `/` is double division, and at 1e12 rank
+        // magnitude the double's ~1e-4 absolute error can cross an
+        // integer boundary for denominators ≳4000 — true integer
+        // division matches DuckDB `//` exactly at any scale
+        val contrib = ranks
+          .join(ewd, ranks("node") === ewd("src"))
+          .groupBy($"dst")
+          .agg(sum(expr("rank div deg")).as("in_mass"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select($"node",
+            (lit(base) + expr(s"85 * coalesce(in_mass, 0L) div 100"))
+              .cast("long").as("rank"))
+          // truncate lineage each round: without this, iteration r's plan
+          // re-embeds (and recomputes) iterations 1..r-1 — quadratic work
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally { ewd.unpersist(); nodes.unpersist() }
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** PageRank over the bipartite customer→supplier graph induced by
+    * orders⋈lineitem (node ids disambiguated as 2·custkey / 2·suppkey+1),
+    * 3 iterations, top 20 nodes.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Sources.orders(s, dir)
+    val lineitem = Sources.lineitem(s, dir)
+    val edges = orders
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rank".desc, $"node")
+    pageRank(edges, "src", "dst", iters = 3)
+      .orderBy($"rank".desc, $"node")
+      .limit(20)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"pos", $"node", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_pagerank" -> qPageRank)
+
+  val oracles: Map[String, String] = Map("q_pagerank" -> pageRankOracle)
+
+  private def pageRankOracle: String = {
+    def iter(r: Int): String =
+      s"""c$r AS (
+         |  SELECT e.dst, SUM(x.rank // d.deg) AS in_mass
+         |  FROM r${r - 1} x
+         |  JOIN deg d ON x.node = d.src
+         |  JOIN edges e ON x.node = e.src
+         |  GROUP BY e.dst),
+         |r$r AS (
+         |  SELECT n.node,
+         |    CAST(pr.base + 85 * COALESCE(c.in_mass, 0) // 100 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  CROSS JOIN params pr
+         |  LEFT JOIN c$r c ON n.node = c.dst)""".stripMargin
+    val iters = (1 to 3).map(iter).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |params AS (
+       |  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+       |    CAST(15 * (1000000000000 // COUNT(*)) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, pr.init AS rank FROM nodes CROSS JOIN params pr),
+       |$iters
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS pos,
+       |  node, rank
+       |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+}

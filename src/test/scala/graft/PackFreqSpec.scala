@@ -222,4 +222,27 @@ class PackFreqSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq == again.toSeq)
   }
+
+  test("integer PageRank matches a sequential reference on a random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 300).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong)).distinct
+    val Scale = 1000000000000L
+    // sequential reference of the same integer formula
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val init = Scale / n; val base = 15L * init / 100L
+    val deg = edges.groupBy(_._1).map { case (s0, es) => (s0, es.length.toLong) }
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 0 until 3) {
+      val mass = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s0, d) <- edges) mass(d) += rank(s0) / deg(s0)
+      rank = nodes.map(v => v -> (base + 85L * mass(v) / 100L)).toMap
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Graph.pageRank(edges.toDF("src", "dst").repartition(parts),
+        "src", "dst", 3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == rank, s"parts=$parts")
+    }
+  }
 }
