@@ -14,7 +14,8 @@ object PlanAudit {
     "q1_pricing_summary", "q_asof_join", "q_window_tumbling",
     "q_dedup_ngram_jaccard", "q_ann_bruteforce",
     "q_bloom_join", "q_seq_pack", "q_dedup_containment", "q_bm25",
-    "q_funnel", "q_countmin")
+    "q_funnel", "q_countmin",
+    "q_ann_ivfpq", "q_bpe_train", "q_pagerank", "q_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

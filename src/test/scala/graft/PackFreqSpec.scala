@@ -245,4 +245,20 @@ class PackFreqSpec extends AnyFunSuite {
       assert(got == rank, s"parts=$parts")
     }
   }
+
+  test("stratified sample takes exactly ceil(pct*n/100) per stratum, invariant to partitioning") {
+    import spark.implicits._
+    val df = (0 until 157).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    for (parts <- Seq(1, 6)) {
+      val rep = Sampling.stratifiedSample(df.repartition(parts), "id", Seq("g"), 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rep.length == 3)
+      rep.foreach { case (_, total, sampled, _) =>
+        assert(sampled == (total * 10 + 99) / 100)
+      }
+      val again = Sampling.stratifiedSample(df.repartition(1), "id", Seq("g"), 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rep.toSeq == again.toSeq, s"parts=$parts")
+    }
+  }
 }
