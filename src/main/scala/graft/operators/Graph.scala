@@ -65,6 +65,46 @@ object Graph {
     } finally { ewd.unpersist(); nodes.unpersist() }
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; each round it adopts the most frequent
+    * label among its neighbors (ties → smallest label; isolated nodes
+    * keep their own). Deterministic by construction — no float scores,
+    * no random visit order — so rounds replay exactly in SQL. Per round:
+    * one src-join + a (node, label) count + a per-node argmax window,
+    * all map-side-combining shuffles on node; lineage truncated per
+    * round like [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dir0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // symmetrize: propagation is over the undirected graph
+    val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select($"src".as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes.select($"node", $"node".as("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"dst").orderBy($"cnt".desc, $"label")
+      for (_ <- 0 until iters) {
+        val best = labels
+          .join(e, labels("node") === e("src"))
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1)
+          .select($"dst", $"label".as("new_label"))
+        labels = nodes
+          .join(best, nodes("node") === best("dst"), "left")
+          .select($"node", coalesce($"new_label", $"node").as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** PageRank over the bipartite customer→supplier graph induced by
@@ -87,10 +127,60 @@ object Graph {
       .select($"pos", $"node", $"rank")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_pagerank" -> qPageRank)
+  /** Label-propagation communities on the same customer↔supplier graph,
+    * 2 rounds; report the 20 largest communities.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Sources.orders(s, dir)
+    val lineitem = Sources.lineitem(s, dir)
+    val edges = orders
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"size".desc, $"label")
+    labelPropagation(edges, "src", "dst", iters = 2)
+      .groupBy($"label").agg(count(lit(1)).as("size"))
+      .orderBy($"size".desc, $"label")
+      .limit(20)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"pos", $"label", $"size")
+  }
 
-  val oracles: Map[String, String] = Map("q_pagerank" -> pageRankOracle)
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_pagerank" -> qPageRank, "q_label_prop" -> qLabelProp)
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle, "q_label_prop" -> labelPropOracle)
+
+  private def labelPropOracle: String = {
+    def iter(r: Int): String =
+      s"""b$r AS (
+         |  SELECT dst, label AS new_label FROM (
+         |    SELECT e.dst, x.label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, x.label) AS rn
+         |    FROM l${r - 1} x JOIN edges e ON x.node = e.src
+         |    GROUP BY e.dst, x.label)
+         |  WHERE rn = 1),
+         |l$r AS (
+         |  SELECT n.node, COALESCE(b.new_label, n.node) AS label
+         |  FROM nodes n LEFT JOIN b$r b ON n.node = b.dst)""".stripMargin
+    val iters = (1 to 2).map(iter).mkString(",\n")
+    s"""WITH dir0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM dir0
+       |  UNION SELECT dst AS src, src AS dst FROM dir0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$iters
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY size DESC, label) AS BIGINT) AS pos,
+       |  label, size
+       |FROM (SELECT label, COUNT(*) AS size FROM l2 GROUP BY label)
+       |ORDER BY size DESC, label LIMIT 20""".stripMargin
+  }
 
   private def pageRankOracle: String = {
     def iter(r: Int): String =

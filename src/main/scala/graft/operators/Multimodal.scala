@@ -66,13 +66,15 @@ object Multimodal {
       require(img != null, "undecodable image bytes")
       val f = new Array[Float](grid * grid)
       val counts = new Array[Int](grid * grid)
+      val imgW = img.getWidth
+      val px = img.getRGB(0, 0, imgW, img.getHeight, null, 0, imgW)
       var y = 0
       while (y < targetH) {
         val sy = y * img.getHeight / targetH
         var x = 0
         while (x < targetW) {
           val sx = x * img.getWidth / targetW
-          val rgb = img.getRGB(sx, sy)
+          val rgb = px(sy * imgW + sx)
           val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3f * 255f)
           val cell = (y * grid / targetH) * grid + (x * grid / targetW)
           f(cell) += lum; counts(cell) += 1
@@ -221,18 +223,16 @@ object Multimodal {
               new java.io.ByteArrayInputStream(m.bytes))
             require(img != null, "undecodable image bytes")
             val (w, h) = (img.getWidth, img.getHeight)
+            // bulk getRGB: the per-pixel accessor converts through the
+            // color model on every call
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sum = 0L; var chk = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = (img.getRGB(x, y) & 0xff).toLong
-                val pos = y.toLong * w + x
-                sum += v
-                chk += v * (pos + 1)
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val v = (px(i) & 0xff).toLong
+              sum += v
+              chk += v * (i + 1)
+              i += 1
             }
             MediaIntStats(m.media_id, m.kind, w.toLong * h, sum, chk)
           case other =>
@@ -256,10 +256,20 @@ object Multimodal {
   private def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt & 0xff
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    // one bulk setRGB: per-pixel setRGB pays a color-model conversion per
+    // call and dominates the synthesis cost
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt & 0xff
+        px(y * w + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

@@ -261,4 +261,41 @@ class PackFreqSpec extends AnyFunSuite {
       assert(rep.toSeq == again.toSeq, s"parts=$parts")
     }
   }
+
+  test("label propagation matches a sequential reference on a random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val dir0 = (0 until 200).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong)).distinct
+    val sym = (dir0 ++ dir0.map(e => (e._2, e._1))).distinct
+    val nodes = sym.map(_._1).distinct.sorted
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 0 until 2) {
+      lab = nodes.map { v =>
+        val nb = sym.filter(_._2 == v).map(e => lab(e._1))
+        if (nb.isEmpty) v -> v
+        else {
+          val byCnt = nb.groupBy(identity).map { case (l, xs) => (l, xs.length) }
+          v -> byCnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }.toMap
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Graph.labelPropagation(dir0.toDF("src", "dst").repartition(parts),
+        "src", "dst", 2).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == lab, s"parts=$parts")
+    }
+  }
+
+  test("collocations rank an always-together pair above independent words") {
+    import spark.implicits._
+    // "san"/"francisco" occur ONLY as a pair; their neighbors ("the")
+    // are ubiquitous, so every other pair links a frequent word
+    val glued = Seq.fill(8)("the san francisco the")
+    val noise = (0 until 40).map(i => s"word${i % 7} the and word${(i + 3) % 7} the")
+    val docs = (glued ++ noise).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val top = Colloc.topCollocations(docs, "text", minCount = 5, k = 5)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(top.head == (("san", "francisco")), s"got ${top.toSeq}")
+  }
 }
