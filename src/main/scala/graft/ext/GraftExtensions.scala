@@ -50,5 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_cosine", "vec_cosine(array<float>, array<float>) - one-pass cosine similarity") {
       e => VecCosine(e.head, e(1))
     }
+    inject("adjacent_pairs", "adjacent_pairs(array<string>) - space-joined adjacent token pairs") {
+      e => AdjacentPairs(e.head)
+    }
   }
 }

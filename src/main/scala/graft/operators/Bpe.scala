@@ -42,16 +42,13 @@ object Bpe {
       .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("s"), $"cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      graft.plans.AdjacentPairs.register(spark)
       var cur = hist
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       for (r <- 1 to nMerges) {
-        // adjacent pairs: zip the symbol array with its tail; the zip_with
-        // null-pad (unequal lengths) drops via the concat null-out
-        val arr = split($"s", " ")
-        val pairs = filter(
-          zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
-            (a, b) => concat_ws(" ", a, b)),
-          p => p.contains(" "))
+        // adjacent symbol pairs in one codegen'd pass (identical to the
+        // zip_with-tail + filter composition)
+        val pairs = graft.plans.AdjacentPairs.pairs(split($"s", " "))
         val top = cur
           .select($"cnt", explode(pairs).as("pr"))
           .groupBy($"pr").agg(sum($"cnt").as("c"))

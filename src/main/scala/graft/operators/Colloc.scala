@@ -38,12 +38,9 @@ object Colloc {
       val uni = toks.select(explode($"ws").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // adjacent pairs: zip the token array with its tail (the concat_ws
-      // null-pad row drops via the contains-space filter, as in Bpe)
-      val pairs = filter(
-        zip_with($"ws", slice($"ws", lit(2), greatest(size($"ws") - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b)),
-        p => p.contains(" "))
+      // adjacent pairs in one codegen'd pass (graft.plans.AdjacentPairs)
+      graft.plans.AdjacentPairs.register(spark)
+      val pairs = graft.plans.AdjacentPairs.pairs($"ws")
       val big = toks.select(explode(pairs).as("pr"))
         .groupBy($"pr").agg(count(lit(1)).as("c_xy"))
         .filter($"c_xy" >= minCount)

@@ -298,4 +298,20 @@ class PackFreqSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2)))
     assert(top.head == (("san", "francisco")), s"got ${top.toSeq}")
   }
+
+  test("AdjacentPairs native expression matches the zip_with composition") {
+    import spark.implicits._
+    graft.plans.AdjacentPairs.register(spark)
+    val docs = Seq("a b c d", "x", "", "p q").toDF("t")
+      .select(split($"t", " ").as("ws"))
+    val native = docs.select(explode(graft.plans.AdjacentPairs.pairs($"ws")).as("p"))
+      .collect().map(_.getString(0)).sorted
+    val composed = docs.select(explode(filter(
+      zip_with($"ws", slice($"ws", lit(2), greatest(size($"ws") - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      p => p.contains(" "))).as("p"))
+      .collect().map(_.getString(0)).sorted
+    assert(native.toSeq == composed.toSeq)
+    assert(native.toSeq == Seq("a b", "b c", "c d", "p q"))
+  }
 }
