@@ -303,7 +303,26 @@ object TpchExt {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(27,6))) AS DOUBLE)"
   private def dsum(e: String) = decSum.format(e)
 
+  /** Q13 shape (custdist): distribution of customers by order count,
+    * INCLUDING zero-order customers (the left-outer + count(order) trick —
+    * count of a null-side column is 0, not 1), with a predicate on the
+    * order side ('not special requests' → exclude LOW priority here).
+    */
+  def qCustDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Sources.customer(s, dir)
+      .join(Sources.orders(s, dir)
+          .filter($"o_orderpriority" =!= "5-LOW"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_custdist" -> qCustDist,
     "q_min_cost_supplier" -> qMinCostSupplier,
     "q_order_priority" -> qOrderPriority,
     "q_market_share" -> qMarketShare,
@@ -318,6 +337,14 @@ object TpchExt {
     "q_sales_opportunity" -> qSalesOpportunity)
 
   val oracles: Map[String, String] = Map(
+    "q_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_min_cost_supplier" ->
       s"""WITH costs AS (
          |  SELECT p_partkey, p_name, s_name, l_suppkey,

@@ -97,4 +97,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(probePlan.contains("PartitionFilters") &&
       probePlan.contains("band"), probePlan)
   }
+
+  test("dropDuplicatesWithinWatermark: exact streaming dedup matches batch distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ddw").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddw_ckpt").toString
+    val in = MemoryStream[(Long, Long, String)]
+    // (event ts seconds, key, payload): duplicates of the same key arrive
+    // across micro-batches but inside the watermark window
+    val q = in.toDF().toDF("ts_s", "k", "v")
+      .withColumn("ts", timestamp_seconds($"ts_s"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData((100L, 1L, "a"), (101L, 2L, "b"), (102L, 1L, "a-dup"))
+      q.processAllAvailable()
+      in.addData((103L, 2L, "b-dup"), (104L, 3L, "c"), (200L, 9L, "advance"))
+      q.processAllAvailable()
+      val keys = spark.read.parquet(outDir).select("k")
+        .collect().map(_.getLong(0)).sorted
+      // one row per key, exactly like batch dropDuplicates on the union
+      assert(keys.toSeq == Seq(1L, 2L, 3L, 9L), keys.toSeq.toString)
+    } finally q.stop()
+  }
 }
