@@ -71,45 +71,114 @@ object Bpe {
     } finally hist.unpersist()
   }
 
+  /** Tokenizer-application side of BPE: apply the learned merges to the
+    * histogram and report the weighted total symbol count after each
+    * round — the compression curve that decides how many merges are
+    * worth learning. Stage 0 = raw characters.
+    */
+  def compressionCurve(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.AdjacentPairs.register(spark)
+    val hist = docs
+      .select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("s"), $"cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def totalSymbols(df: DataFrame): Long =
+        df.agg(sum($"cnt" * size(split($"s", " ")))).head.getLong(0)
+      var cur = hist
+      val curve = Seq.newBuilder[(Long, Long)]
+      curve += ((0L, totalSymbols(hist)))
+      for (r <- 1 to nMerges) {
+        val top = cur
+          .select($"cnt", explode(graft.plans.AdjacentPairs.pairs(
+            split($"s", " "))).as("pr"))
+          .groupBy($"pr").agg(sum($"cnt").as("c"))
+          .orderBy($"c".desc, $"pr")
+          .limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          cur = cur.select(
+            replace($"s", lit(pair), lit(pair.replace(" ", ""))).as("s"),
+            $"cnt")
+          curve += ((r.toLong, totalSymbols(cur)))
+        }
+      }
+      curve.result().toDF("stage", "n_symbols").orderBy($"stage")
+        .localCheckpoint(true)
+    } finally hist.unpersist()
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** The first 6 BPE merges learned from the documents corpus. */
   def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     trainMerges(Sources.documents(s, dir), "text", nMerges = 6)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_bpe_train" -> qBpeTrain)
+  /** Weighted symbol totals after each of the 6 learned merges. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    compressionCurve(Sources.documents(s, dir), "text", nMerges = 6)
 
-  val oracles: Map[String, String] = Map("q_bpe_train" -> bpeOracle)
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_bpe_train" -> qBpeTrain, "q_bpe_encode" -> qBpeEncode)
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracle, "q_bpe_encode" -> bpeEncodeOracle)
+
+  /** Per-stage totals over the same unrolled 6-round chain. */
+  private def bpeEncodeOracle: String = {
+    val rounds = (1 to 6).map(roundSql).mkString(",\n")
+    val stages = (0 to 6).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS stage, " +
+        s"CAST(SUM(cnt * len(string_split(s, ' '))) AS BIGINT) AS n_symbols " +
+        s"FROM w$r").mkString(" UNION ALL ")
+    s"""WITH $histSql,
+       |$rounds
+       |SELECT stage, n_symbols FROM ($stages) ORDER BY stage""".stripMargin
+  }
+
+  /** Shared CTE text: word histogram + spaced spelling (hist, w0).
+    * NB the s-interpolator: it processes `\\1` → `\1` even in triple
+    * quotes; a plain triple-quoted literal would ship two backslashes
+    * to DuckDB and silently corrupt the spelling regex.
+    */
+  private def histSql: String =
+    s"""hist AS (
+      |  SELECT w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |w0 AS (
+      |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt
+      |  FROM hist)""".stripMargin
+
+  /** Shared CTE text for merge round `r`: pair count, argmax, replace. */
+  private def roundSql(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pr, SUM(cnt) AS c FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(a)),
+       |      j -> a[j] || ' ' || a[j + 1])) AS pr
+       |    FROM (SELECT cnt, string_split(s, ' ') AS a FROM w${r - 1}))
+       |  GROUP BY pr),
+       |t$r AS (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
+       |w$r AS (
+       |  SELECT replace(w.s, t.pr, replace(t.pr, ' ', '')) AS s, w.cnt
+       |  FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
 
   /** The same 6-round loop unrolled in SQL: word histogram, spaced
     * spelling, per-round pair count + argmax + literal replace.
     */
   private def bpeOracle: String = {
-    def round(r: Int): String =
-      s"""p$r AS (
-         |  SELECT pr, SUM(cnt) AS c FROM (
-         |    SELECT cnt, unnest(list_transform(range(1, len(a)),
-         |      j -> a[j] || ' ' || a[j + 1])) AS pr
-         |    FROM (SELECT cnt, string_split(s, ' ') AS a FROM w${r - 1}))
-         |  GROUP BY pr),
-         |t$r AS (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
-         |w$r AS (
-         |  SELECT replace(w.s, t.pr, replace(t.pr, ' ', '')) AS s, w.cnt
-         |  FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
-    val rounds = (1 to 6).map(round).mkString(",\n")
+    val rounds = (1 to 6).map(roundSql).mkString(",\n")
     val out = (1 to 6).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, pr AS pair, " +
         s"replace(pr, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM t$r")
       .mkString(" UNION ALL ")
-    s"""WITH hist AS (
-       |  SELECT w, COUNT(*) AS cnt FROM (
-       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
-       |    FROM documents)
-       |  WHERE w <> '' GROUP BY w),
-       |w0 AS (
-       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt
-       |  FROM hist),
+    s"""WITH $histSql,
        |$rounds
        |SELECT round, pair, merged, cnt FROM ($out) ORDER BY round""".stripMargin
   }

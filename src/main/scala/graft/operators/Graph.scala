@@ -87,15 +87,16 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = nodes.select($"node", $"node".as("label"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"dst").orderBy($"cnt".desc, $"label")
       for (_ <- 0 until iters) {
+        // argmax via max_by on struct(cnt, -label): highest count, ties to
+        // the LOWEST label — one aggregate instead of a window, saving an
+        // exchange per round (the window would re-partition by dst after
+        // the (dst,label) count shuffle)
         val best = labels
           .join(e, labels("node") === e("src"))
           .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
-          .withColumn("_rn", row_number().over(w))
-          .filter($"_rn" === 1)
-          .select($"dst", $"label".as("new_label"))
+          .groupBy($"dst")
+          .agg(max_by($"label", struct($"cnt", -$"label")).as("new_label"))
         labels = nodes
           .join(best, nodes("node") === best("dst"), "left")
           .select($"node", coalesce($"new_label", $"node").as("label"))
