@@ -314,4 +314,15 @@ class PackFreqSpec extends AnyFunSuite {
     assert(native.toSeq == composed.toSeq)
     assert(native.toSeq == Seq("a b", "b c", "c d", "p q"))
   }
+
+  test("LM scoring flags the gibberish doc with the highest OOV fraction") {
+    import spark.implicits._
+    val normal = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val gib = Seq((99L, "zxq vbnm qwerty asdf zxcv uiop hjkl"))
+    val docs = (normal ++ gib).toDF("doc_id", "text")
+    val scored = LmScore.scoreAgainstTopK(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val worst = scored.maxBy { case (_, nb, noov) => noov.toDouble / math.max(nb, 1) }
+    assert(worst._1 == 99L, scored.toString)
+  }
 }
