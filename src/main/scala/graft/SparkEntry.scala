@@ -19,7 +19,8 @@ object SparkEntry {
       DataOpsQueries.queries ++ Analytics.queries ++ TpchExt.queries ++
       CorpusOps.queries ++ Pack.queries ++ Freq.queries ++
       Repetition.queries ++ Quantize.queries ++ ZOrder.queries ++
-      Relevance.queries ++ Funnel.queries ++ Pq.queries ++ IvfPq.queries ++ Bpe.queries ++ Graph.queries ++ Sampling.queries ++ Colloc.queries ++ Timeseries.queries ++ LmScore.queries
+      Relevance.queries ++ Funnel.queries ++ Pq.queries ++ IvfPq.queries ++ Bpe.queries ++ Graph.queries ++ Sampling.queries ++ Colloc.queries ++ Timeseries.queries ++ LmScore.queries ++
+      Reshape.queries ++ Temporal.queries ++ Itemsets.queries ++ EditDist.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
       DataOpsQueries.oracles ++ Analytics.oracles ++ TpchExt.oracles ++
       CorpusOps.oracles ++ Pack.oracles ++ Freq.oracles ++
       Repetition.oracles ++ Quantize.oracles ++ ZOrder.oracles ++
-      Relevance.oracles ++ Funnel.oracles ++ Pq.oracles ++ IvfPq.oracles ++ Bpe.oracles ++ Graph.oracles ++ Sampling.oracles ++ Colloc.oracles ++ Timeseries.oracles ++ LmScore.oracles
+      Relevance.oracles ++ Funnel.oracles ++ Pq.oracles ++ IvfPq.oracles ++ Bpe.oracles ++ Graph.oracles ++ Sampling.oracles ++ Colloc.oracles ++ Timeseries.oracles ++ LmScore.oracles ++
+      Reshape.oracles ++ Temporal.oracles ++ Itemsets.oracles ++ EditDist.oracles
 }

@@ -65,8 +65,25 @@ object Relevance {
       .limit(20)
   }
 
+  /** Inverted-index posting statistics: per term, document frequency,
+    * collection frequency, and the posting-list id range — the search /
+    * retrieval index-build shape. One explode + one hash aggregate
+    * (count-distinct expands map-side); df floor bounds the output to
+    * the vocabulary that matters at any corpus size.
+    */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, dir)
+      .select($"doc_id", explode(wordTokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .where($"df" >= 5)
+      .orderBy($"term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_bm25" -> qBm25)
+    Map("q_bm25" -> qBm25, "q_inverted_index" -> qInvertedIndex)
 
   private val W =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
@@ -97,5 +114,12 @@ object Relevance {
          |FROM tf, st
          |WHERE $scoreSql > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    })
+    },
+    "q_inverted_index" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, unnest($W) AS term FROM documents)
+         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM e GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 5
+         |ORDER BY term""".stripMargin)
 }

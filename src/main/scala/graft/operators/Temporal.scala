@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions._
+import graft.sources.Sources
+
+/** Temporal/state analytics over the event log: Markov transition
+  * matrices, slowly-changing-dimension (type 2) version building, and
+  * incremental (partial-state) aggregate maintenance.
+  *
+  * Scale shapes: transitions and SCD2 are ONE hash shuffle on the
+  * entity key followed by partitioned window passes (never a global
+  * sort); incremental maintenance re-aggregates stored algebraic
+  * states — the 100 TB point is that refreshing a day's aggregates
+  * touches the day's delta, not the historical base scan.
+  */
+object Temporal {
+
+  private def orderedEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("ts_s"), $"event_type")
+  }
+
+  /** Per-user next-event transition matrix with scaled-integer
+    * probabilities (parts-per-million, floored — bit-exact in both
+    * engines; no IEEE division chains).
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val pairs = orderedEvents(s, dir)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .where($"to_type".isNotNull)
+    val counts = pairs.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy($"from_type")
+    counts
+      .withColumn("total", sum($"n").over(wf))
+      // integer division in both engines — no IEEE quotient near a
+      // floor boundary can perturb the gate
+      .withColumn("prob_ppm", expr("(n * 1000000L) div total"))
+      .drop("total")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** SCD type-2 history of each user's event_type "segment": collapse
+    * consecutive repeats, emit versioned rows with [valid_from, valid_to)
+    * epoch-second bounds (open current version → NULL) and a version
+    * number per user. One shuffle on user_id; both window passes reuse
+    * the same partitioning.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val changes = orderedEvents(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    val wv = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    changes
+      .withColumn("version", row_number().over(wv))
+      .withColumn("valid_to_s", lead($"ts_s", 1).over(wv))
+      .select($"user_id", $"version", $"event_type".as("segment"),
+        $"ts_s".as("valid_from_s"), $"valid_to_s")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Incremental aggregate maintenance: per-priority algebraic states
+    * (count / exact-decimal sum / min / max) computed separately over the
+    * base (orders before the cutoff) and the delta (orders after), then
+    * merged WITHOUT rescanning the base — bit-identical to a full
+    * recompute because every piece is algebraic and the sum stays
+    * decimal-exact until the single final cast.
+    */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1995-07-01").cast("timestamp")
+    def state(df: DataFrame): DataFrame =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(27, 6))).as("tot_dec"),
+          min($"o_totalprice").as("mn"),
+          max($"o_totalprice").as("mx"))
+    val o = Sources.orders(s, dir)
+    val base = state(o.where($"o_orderdate" < cutoff))
+    val delta = state(o.where($"o_orderdate" >= cutoff))
+    base.union(delta)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n"), sum($"tot_dec").as("tot_dec"),
+        min($"mn").as("min_price"), max($"mx").as("max_price"))
+      .select($"o_orderpriority", $"n",
+        $"tot_dec".cast("double").as("total_price"),
+        ($"tot_dec".cast("double") / $"n").as("avg_price"),
+        $"min_price", $"max_price")
+      .orderBy($"o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> qTransitions,
+    "q_scd2" -> qScd2,
+    "q_incremental_agg" -> qIncrementalAgg)
+
+  private val EV =
+    """SELECT user_id, event_id,
+      |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s, event_type
+      |  FROM events""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      s"""WITH ev AS ($EV),
+         |pairs AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_s, event_id) AS to_type
+         |  FROM ev),
+         |counts AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM pairs WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n,
+         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         |    AS prob_ppm
+         |FROM counts ORDER BY from_type, to_type""".stripMargin,
+    "q_scd2" ->
+      s"""WITH ev AS ($EV),
+         |marked AS (
+         |  SELECT user_id, event_id, ts_s, event_type,
+         |    LAG(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_s, event_id) AS prev_type
+         |  FROM ev),
+         |changes AS (
+         |  SELECT user_id, event_id, ts_s, event_type FROM marked
+         |  WHERE prev_type IS NULL OR prev_type <> event_type)
+         |SELECT user_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ts_s, event_id) AS INT) AS version,
+         |  event_type AS segment, ts_s AS valid_from_s,
+         |  LEAD(ts_s) OVER (PARTITION BY user_id
+         |    ORDER BY ts_s, event_id) AS valid_to_s
+         |FROM changes ORDER BY user_id, version""".stripMargin,
+    "q_incremental_agg" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         |    AS avg_price,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -128,10 +128,15 @@ object WinnowHashes {
   def winnowHashes(text: Column): Column =
     org.apache.spark.sql.functions.call_function("winnow_hashes", text)
 
-  /** Register `winnow_hashes(text)` with fixed k-gram and window widths. */
-  def register(spark: SparkSession, k: Int = 8, w: Int = 4): Unit =
+  /** Register `winnow_hashes(text)` with fixed k-gram and window widths.
+    * `name` lets one session hold several (k, w) variants; w = 1 degrades
+    * to "distinct char k-gram hashes in first-seen order" — the raw gram
+    * profile used by substring-dedup and edit-distance filtering.
+    */
+  def register(spark: SparkSession, k: Int = 8, w: Int = 4,
+      name: String = "winnow_hashes"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_hashes", exprs => WinnowHashes(exprs.head, k, w), "built-in")
+      name, exprs => WinnowHashes(exprs.head, k, w), "built-in")
 }
 
 object ShingleHashes {
