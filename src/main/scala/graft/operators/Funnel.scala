@@ -70,9 +70,40 @@ object Funnel {
       .orderBy($"cohort_day")
   }
 
+  /** First-touch / last-touch conversion attribution: each purchase is
+    * credited to the user's earliest and latest preceding touchpoint
+    * (view or click). One user-keyed window partitioning computes both
+    * running attributions; conversions with no preceding touch count as
+    * 'none'. The report is per touch-channel conversion totals under
+    * both models.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ev = Sources.events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("ts_s"), $"event_type")
+      .withColumn("touch", when($"event_type".isin("view", "click"), $"event_type"))
+    val attributed = ev
+      .withColumn("first_touch", first($"touch", ignoreNulls = true).over(w))
+      .withColumn("last_touch", last($"touch", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+    attributed
+      .select(explode(array(
+        struct(lit("first").as("model"),
+          coalesce($"first_touch", lit("none")).as("channel")),
+        struct(lit("last").as("model"),
+          coalesce($"last_touch", lit("none")).as("channel")))).as("a"))
+      .groupBy($"a.model".as("model"), $"a.channel".as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy($"model", $"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
-    "q_retention" -> qRetention)
+    "q_retention" -> qRetention,
+    "q_attribution" -> qAttribution)
 
   private val E =
     "SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_s FROM events"
@@ -104,5 +135,31 @@ object Funnel {
          |  CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_retained
          |FROM cohort c LEFT JOIN ret r ON c.user_id = r.user_id
-         |GROUP BY day0 ORDER BY cohort_day""".stripMargin)
+         |GROUP BY day0 ORDER BY cohort_day""".stripMargin,
+    "q_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+         |    event_type,
+         |    CASE WHEN event_type IN ('view','click') THEN event_type END
+         |      AS touch
+         |  FROM events),
+         |att AS (
+         |  SELECT event_type,
+         |    first_value(touch IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts_s, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         |    last_value(touch IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts_s, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+         |  FROM e),
+         |conv AS (SELECT * FROM att WHERE event_type = 'purchase'),
+         |both_models AS (
+         |  SELECT 'first' AS model, COALESCE(first_touch, 'none') AS channel
+         |  FROM conv
+         |  UNION ALL
+         |  SELECT 'last' AS model, COALESCE(last_touch, 'none') AS channel
+         |  FROM conv)
+         |SELECT model, channel, COUNT(*) AS n_conversions
+         |FROM both_models GROUP BY model, channel
+         |ORDER BY model, channel""".stripMargin)
 }

@@ -148,11 +148,110 @@ object Graph {
       .select($"pos", $"label", $"size")
   }
 
+  /** Undirected co-purchase edges between parts appearing in the same
+    * order (part ids, deduplicated, src < dst).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Sources.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .distinct()
+  }
+
+  /** Triangle count over the part co-purchase graph via degree-ordered
+    * orientation: every undirected edge is directed low-degree →
+    * high-degree (ties by id), so each wedge is enumerated exactly once
+    * from its lowest-degree corner and per-node fan-out is bounded by
+    * O(√m) even on power-law graphs — the standard scalable formulation
+    * (two equi-joins, no node ever explodes on its raw degree). Also
+    * reports node/edge totals.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = copurchaseEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = und.select($"src".as("n"), $"dst")
+        .union(und.select($"dst".as("n"), $"src"))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // orient: (deg, id) ascending
+      val dirE = und
+        .join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "dd"), "dst")
+        .select(
+          when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"src")
+            .otherwise($"dst").as("u"),
+          when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"dst")
+            .otherwise($"src").as("v"))
+        .localCheckpoint(true)
+      val wedges = dirE.as("e1").join(dirE.as("e2"),
+          col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val tri = wedges.join(dirE.as("e3"),
+        $"a" === col("e3.u") && $"c" === col("e3.v"))
+      val nNodes = deg.count()
+      val nEdges = und.count()
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+          $"n_triangles")
+    } finally und.unpersist()
+  }
+
+  /** Degree histogram of the co-purchase graph: how many nodes have each
+    * degree — the graph's scale signature (two aggregates, no joins).
+    */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = copurchaseEdges(s, dir)
+    und.select($"src".as("n")).union(und.select($"dst".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_pagerank" -> qPageRank, "q_label_prop" -> qLabelProp)
+    Map("q_pagerank" -> qPageRank, "q_label_prop" -> qLabelProp,
+      "q_triangles" -> qTriangles, "q_degree_dist" -> qDegreeDist)
+
+  private val CopurchaseSql =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.p AS src, b.p AS dst
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> pageRankOracle, "q_label_prop" -> labelPropOracle)
+    "q_pagerank" -> pageRankOracle, "q_label_prop" -> labelPropOracle,
+    "q_triangles" ->
+      s"""WITH $CopurchaseSql,
+         |deg AS (
+         |  SELECT n, COUNT(*) AS deg FROM (
+         |    SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+         |  GROUP BY n),
+         |dir_e AS (
+         |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND src < dst)
+         |    THEN src ELSE dst END AS u,
+         |  CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND src < dst)
+         |    THEN dst ELSE src END AS v
+         |  FROM und JOIN deg ds ON und.src = ds.n JOIN deg dd ON und.dst = dd.n),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM dir_e e1 JOIN dir_e e2 ON e1.v = e2.u
+         |  JOIN dir_e e3 ON e1.u = e3.u AND e2.v = e3.v)
+         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         |  (SELECT COUNT(*) FROM und) AS n_edges, n_triangles
+         |FROM tri""".stripMargin,
+    "q_degree_dist" ->
+      s"""WITH $CopurchaseSql,
+         |deg AS (
+         |  SELECT n, COUNT(*) AS deg FROM (
+         |    SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+         |  GROUP BY n)
+         |SELECT deg, COUNT(*) AS n_nodes FROM deg
+         |GROUP BY deg ORDER BY deg""".stripMargin)
 
   private def labelPropOracle: String = {
     def iter(r: Int): String =

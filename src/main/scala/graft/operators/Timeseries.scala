@@ -66,9 +66,40 @@ object Timeseries {
       .orderBy($"event_type", $"minute")
   }
 
+  /** Pairwise Pearson r² between event-type series on the aligned minute
+    * grid (minutes where both types have events). One minute-bucketed
+    * aggregate feeds every pair via a self-join on the minute; all six
+    * power sums are exact decimals, so the closed-form r² =
+    * (n·sxy − sx·sy)² / ((n·sxx − sx²)(n·syy − sy²)) is computed from
+    * identical doubles in both engines. r² (not r) avoids the
+    * libm-dependent sqrt.
+    */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = Sources.events(s, dir)
+      .select($"event_type", epochS($"ts").as("ts_s"), $"value")
+      .withColumn("m", expr("ts_s div 60"))
+      .groupBy($"event_type", $"m")
+      .agg(xsum($"value").as("v"))
+    val a = perMin.toDF("type_a", "m", "va")
+    val b = perMin.toDF("type_b", "m", "vb")
+    a.join(b, Seq("m")).filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n"),
+        xsum($"va").as("sx"), xsum($"vb").as("sy"),
+        xsum($"va" * $"va", 6).as("sxx"), xsum($"vb" * $"vb", 6).as("syy"),
+        xsum($"va" * $"vb", 6).as("sxy"))
+      .select($"type_a", $"type_b", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+          .as("r2"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outliers" -> qOutliers,
-    "q_resample_ffill" -> qResampleFfill)
+    "q_resample_ffill" -> qResampleFfill,
+    "q_corr" -> qCorr)
 
   private def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(27,6))) AS DOUBLE)"
 
@@ -110,5 +141,27 @@ object Timeseries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled
          |FROM spine s LEFT JOIN agg a
          |  ON s.event_type = a.event_type AND s.m = a.m
-         |ORDER BY s.event_type, minute""".stripMargin)
+         |ORDER BY s.event_type, minute""".stripMargin,
+    "q_corr" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 60 AS m, value
+         |  FROM events),
+         |pm AS (
+         |  SELECT event_type, m, ${dsum("value")} AS v
+         |  FROM ev GROUP BY event_type, m),
+         |j AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.v AS va, b.v AS vb
+         |  FROM pm a JOIN pm b ON a.m = b.m AND a.event_type < b.event_type),
+         |st AS (
+         |  SELECT type_a, type_b, COUNT(*) AS n,
+         |    ${dsum("va")} AS sx, ${dsum("vb")} AS sy,
+         |    ${dsum("va*va")} AS sxx, ${dsum("vb*vb")} AS syy,
+         |    ${dsum("va*vb")} AS sxy
+         |  FROM j GROUP BY type_a, type_b)
+         |SELECT type_a, type_b, n,
+         |  (n*sxy - sx*sy) * (n*sxy - sx*sy)
+         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+         |FROM st ORDER BY type_a, type_b""".stripMargin)
 }
