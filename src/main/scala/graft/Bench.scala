@@ -39,13 +39,45 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // a failed query reports -1 (never a fake-fast wall time) + an errors row
-    val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def entry(k: String, v: Double, err: Option[String]): String =
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
+    val fullQs = results.map { case (k, v, e) => entry(k, v, e) }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k: $e\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._3.isEmpty).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._3.isEmpty).map(_._2)
+    val total = ok.sum
+    val sortedOk = ok.sorted
+    def pct(p: Double): Double =
+      if (sortedOk.isEmpty) 0.0
+      else sortedOk(math.min(sortedOk.size - 1, (p * sortedOk.size).toInt))
+    // The harness that invokes Bench keeps only the last ~2000 chars of
+    // stdout; with 100+ queries a full per-query map overflows that window
+    // and the line becomes unparseable. Print a compact line (summary stats
+    // + the slowest queries, greedily while it still fits) and dump the
+    // complete per-query map to BENCH_FULL.json in the repo root.
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},""" +
+      s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    val budget = 1500
+    val slowestFirst = results.sortBy { case (_, v, e) => if (e.isDefined) Double.MaxValue else -v }
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},"queries":{"""
+    val tailPart = s"""},"errors":$errs,"sf":"$sfDir"}"""
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + tailPart.length
+    slowestFirst.foreach { case (k, v, e) =>
+      val s = entry(k, v, e)
+      if (len + s.length + 1 <= budget) { picked += s; len += s.length + 1 }
+    }
     spark.stop()
+    println(head + picked.mkString(",") + tailPart)
+    System.out.flush()
   }
 }
