@@ -21,7 +21,8 @@ object SparkEntry {
       Repetition.queries ++ Quantize.queries ++ ZOrder.queries ++
       Relevance.queries ++ Funnel.queries ++ Pq.queries ++ IvfPq.queries ++ Bpe.queries ++ Graph.queries ++ Sampling.queries ++ Colloc.queries ++ Timeseries.queries ++ LmScore.queries ++
       Reshape.queries ++ Temporal.queries ++ Itemsets.queries ++ EditDist.queries ++
-      Features.queries ++ TableDiff.queries ++ Chunking.queries ++ SparseSim.queries
+      Features.queries ++ TableDiff.queries ++ Chunking.queries ++ SparseSim.queries ++
+      Sampling2.queries ++ TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       Repetition.oracles ++ Quantize.oracles ++ ZOrder.oracles ++
       Relevance.oracles ++ Funnel.oracles ++ Pq.oracles ++ IvfPq.oracles ++ Bpe.oracles ++ Graph.oracles ++ Sampling.oracles ++ Colloc.oracles ++ Timeseries.oracles ++ LmScore.oracles ++
       Reshape.oracles ++ Temporal.oracles ++ Itemsets.oracles ++ EditDist.oracles ++
-      Features.oracles ++ TableDiff.oracles ++ Chunking.oracles ++ SparseSim.oracles
+      Features.oracles ++ TableDiff.oracles ++ Chunking.oracles ++ SparseSim.oracles ++
+      Sampling2.oracles ++ TrainPrep.oracles
 }

@@ -215,6 +215,29 @@ object DataOpsQueries {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** MinHash-LSH quality evaluation: recall of the banded pipeline against
+    * the EXACT Jaccard >= 0.5 pair set (via the lossless prefix-filtered
+    * AllPairs join with no banding). Verified LSH pairs are a subset of
+    * the exact set, so the report is (n_exact, n_lsh, n_missed) — the
+    * measure-your-dedup-before-trusting-it number. Both sides reuse the
+    * scale-safe operators; the oracle brute-forces the exact set with the
+    * integer form 3·|A∩B| >= |A|+|B| (≡ J >= 1/2, no float gate).
+    */
+  def qMinhashEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
+      .select($"doc_a", $"doc_b")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+      preHashed = true)
+      .select($"doc_a", $"doc_b")
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+  }
+
   def qTextTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Sources.documents(s, dir).select(
@@ -306,6 +329,7 @@ object DataOpsQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_minhash_eval" -> qMinhashEval,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
@@ -438,6 +462,17 @@ object DataOpsQueries {
       s"""WITH ${minhashChainSql(W)}
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_eval" ->
+      s"""WITH ${minhashChainSql(W)},
+         |exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs))
+         |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM mh_pairs) AS n_lsh,
+         |  (SELECT COUNT(*) FROM exact e LEFT JOIN mh_pairs m
+         |     ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+         |   WHERE m.doc_a IS NULL) AS n_missed""".stripMargin,
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE ${minhashChainSql(W)},
          |edges AS (

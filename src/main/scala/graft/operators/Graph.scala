@@ -200,6 +200,43 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** Multi-source BFS levels over the undirected co-purchase graph:
+    * distance-from-hub for every node within `maxDepth` hops, starting at
+    * ALL maximum-degree nodes (deterministic seed set). Per round: one
+    * frontier ⋈ edges shuffle + one anti-join against the visited set —
+    * the textbook Pregel BFS; lineage truncated per round like
+    * [[pageRank]]. Reported as per-level counts + node-id range (the
+    * "how far is everything from the hubs" reachability profile).
+    */
+  def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxDepth = 3
+    val dir0 = copurchaseEdges(s, dir)
+    val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val sources = deg
+        .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
+        .filter($"deg" === $"max_deg")
+        .select($"node")
+      var levels = sources.select($"node", lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (d <- 1 to maxDepth) {
+        val frontier = levels.filter($"dist" === (d - 1))
+        val nbrs = frontier.join(e, frontier("node") === e("src"))
+          .select($"dst".as("node")).distinct()
+        val novel = nbrs.join(levels, Seq("node"), "left_anti")
+          .select($"node", lit(d.toLong).as("dist"))
+        levels = levels.union(novel).localCheckpoint(true)
+      }
+      levels.groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+          max($"node").as("max_node"))
+        .orderBy($"dist")
+    } finally e.unpersist()
+  }
+
   /** Degree histogram of the co-purchase graph: how many nodes have each
     * degree — the graph's scale signature (two aggregates, no joins).
     */
@@ -214,7 +251,8 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> qPageRank, "q_label_prop" -> qLabelProp,
-      "q_triangles" -> qTriangles, "q_degree_dist" -> qDegreeDist)
+      "q_triangles" -> qTriangles, "q_degree_dist" -> qDegreeDist,
+      "q_bfs_levels" -> qBfsLevels)
 
   private val CopurchaseSql =
     """items AS (
@@ -223,8 +261,36 @@ object Graph {
       |  SELECT DISTINCT a.p AS src, b.p AS dst
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p)""".stripMargin
 
+  private def bfsOracle: String = {
+    def iter(d: Int): String =
+      s"""f$d AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM l${d - 1} x JOIN edges e ON x.node = e.src
+         |  WHERE x.dist = ${d - 1}),
+         |l$d AS (
+         |  SELECT node, dist FROM l${d - 1}
+         |  UNION ALL
+         |  SELECT f.node, ${d}::BIGINT AS dist
+         |  FROM f$d f LEFT JOIN l${d - 1} v ON f.node = v.node
+         |  WHERE v.node IS NULL)""".stripMargin
+    val iters = (1 to 3).map(iter).mkString(",\n")
+    s"""WITH $CopurchaseSql,
+       |edges AS (
+       |  SELECT src, dst FROM und
+       |  UNION ALL SELECT dst AS src, src AS dst FROM und),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |l0 AS (
+       |  SELECT node, 0::BIGINT AS dist FROM deg
+       |  WHERE deg = (SELECT MAX(deg) FROM deg)),
+       |$iters
+       |SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+       |  MAX(node) AS max_node
+       |FROM l3 GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle, "q_label_prop" -> labelPropOracle,
+    "q_bfs_levels" -> bfsOracle,
     "q_triangles" ->
       s"""WITH $CopurchaseSql,
          |deg AS (

@@ -130,6 +130,80 @@ object Similarity {
       }).getField("cid")
   }
 
+  /** Hard-negative mining (contrastive-pair construction): for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the "nearest wrong answer" training pairs. Same bounded-heap
+    * shape as [[knnJoin]] (corpus never shuffles, queries×k×partitions
+    * merge); the label gate is applied at heap insert so skipped rows
+    * cost one comparison, not a heap operation.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+      qLabelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol), col(qLabelCol).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "hardNegatives: no query vectors")
+    val bc = spark.sparkContext.broadcast(qs)
+    val heapOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partials = emb
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val queriesLocal = bc.value
+        val heaps = queriesLocal.map(_ =>
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](heapOrd))
+        it.foreach { case (id, v, label) =>
+          var qi = 0
+          while (qi < queriesLocal.length) {
+            val (_, qv, qlabel) = queriesLocal(qi)
+            if (label != qlabel) {
+              var dot = 0.0; var aa = 0.0; var qq = 0.0
+              var i = 0
+              val n = math.min(v.length, qv.length)
+              while (i < n) {
+                val x = v(i).toDouble; val y = qv(i).toDouble
+                dot += x * y; aa += x * x; qq += y * y
+                i += 1
+              }
+              val cos = dot / (math.sqrt(aa) * math.sqrt(qq))
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, id))
+              else {
+                val (wc, wid) = h.head
+                if (cos > wc || (cos == wc && id < wid)) {
+                  h.dequeue(); h.enqueue((cos, id))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        queriesLocal.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+          heaps(qi).iterator.map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("query_id", idCol, "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    val top = partials.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+    emb.select(col(idCol), col(labelCol))
+      .join(org.apache.spark.sql.functions.broadcast(top), idCol)
+      .select(col("query_id"), col(idCol), col(labelCol), col("cos"))
+  }
+
   /** Exact k-NN JOIN: for every query vector (a small broadcast side — the
     * "dedup new data against a reference set" shape), the top-k corpus
     * rows by cosine. Each partition keeps one bounded heap per query and
