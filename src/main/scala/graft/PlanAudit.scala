@@ -15,7 +15,9 @@ object PlanAudit {
     "q_dedup_ngram_jaccard", "q_ann_bruteforce",
     "q_bloom_join", "q_seq_pack", "q_dedup_containment", "q_bm25",
     "q_funnel", "q_countmin",
-    "q_ann_ivfpq", "q_bpe_train", "q_pagerank", "q_stratified_sample")
+    "q_ann_ivfpq", "q_bpe_train", "q_pagerank", "q_stratified_sample",
+    "q_edit_join", "q_skyline", "q_tfidf_cosine", "q_cdc_chunks",
+    "q_hard_negatives", "q_bfs_levels")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -220,15 +220,19 @@ object Graph {
         .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
         .filter($"deg" === $"max_deg")
         .select($"node")
-      var levels = sources.select($"node", lit(0L).as("dist"))
+      // checkpoint each round's NOVEL frontier once; `levels` stays a
+      // lazy union of already-materialized frontiers (re-checkpointing
+      // the whole growing set every round rewrites everything r times)
+      var frontier = sources.select($"node", lit(0L).as("dist"))
         .localCheckpoint(true)
+      var levels = frontier
       for (d <- 1 to maxDepth) {
-        val frontier = levels.filter($"dist" === (d - 1))
         val nbrs = frontier.join(e, frontier("node") === e("src"))
           .select($"dst".as("node")).distinct()
-        val novel = nbrs.join(levels, Seq("node"), "left_anti")
+        frontier = nbrs.join(levels, Seq("node"), "left_anti")
           .select($"node", lit(d.toLong).as("dist"))
-        levels = levels.union(novel).localCheckpoint(true)
+          .localCheckpoint(true)
+        levels = levels.union(frontier)
       }
       levels.groupBy($"dist")
         .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),

@@ -21,10 +21,21 @@ object Layout {
     * lives in the catalog, so this is saveAsTable, not a path write).
     */
   def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Overwrite replaces a REGISTERED table, but a stale location left by
+    // a previous session (different warehouse dir, crashed run) fails
+    // with LOCATION_ALREADY_EXISTS — drop both the entry and the path.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 }

@@ -33,16 +33,22 @@ object SparseSim {
     */
   def qTfidfCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // tf feeds df, the doc count AND the weight join; w feeds norms and
+    // both dot sides — materialize each once or the optimizer re-embeds
+    // the whole upstream chain per consumer (7 copies of the tf aggregate
+    // in the unchecked plan)
     val tf = Sources.documents(s, dir)
       .select($"doc_id", explode(
         filter(split(lower($"text"), "[^a-z]+"), t => t =!= "")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(tf.select(countDistinct($"doc_id").as("n_docs"))))
       .filter($"df" <= 100)
       .select($"term", floor(lit(100) * $"n_docs" / $"df").as("idf"))
     val w = tf.join(df, "term")
       .select($"doc_id", $"term", ($"tf" * $"idf").as("w"))
+      .localCheckpoint(true)
     val norms = w.groupBy($"doc_id")
       .agg(sum(($"w" * $"w").cast("decimal(38,0)")).as("n2"))
     val b = w.select($"term", $"doc_id".as("doc_b"), $"w".as("w_b"))
