@@ -96,14 +96,44 @@ object Timeseries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Cascaded rollup (the materialized-view hierarchy shape): hourly
+    * aggregates are built FROM the minute-level partial aggregates, never
+    * by rescanning raw events — the reaggregation is exact because counts
+    * and DECIMAL sums are associative (the minute level keeps the decimal
+    * intermediate; only the final hour value casts to double). At 100 TB
+    * the minute table is the one corpus-sized aggregate; every coarser
+    * granularity reuses it at 1/60 the input.
+    */
+  def qAggCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minute = Sources.events(s, dir)
+      .groupBy($"event_type",
+        floor(epochS($"ts") / 60).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(27,6)")).as("sv"))
+    minute
+      .groupBy($"event_type", expr("m DIV 60").as("h"))
+      .agg(sum($"n").as("n_events"), sum($"sv").cast("double").as("sum_value"))
+      .select($"event_type", ($"h" * 3600).as("hour_s"), $"n_events",
+        $"sum_value")
+      .orderBy($"event_type", $"hour_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outliers" -> qOutliers,
     "q_resample_ffill" -> qResampleFfill,
-    "q_corr" -> qCorr)
+    "q_corr" -> qCorr,
+    "q_agg_cascade" -> qAggCascade)
 
   private def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(27,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_agg_cascade" ->
+      """SELECT event_type,
+        |  ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS hour_s,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_outliers" ->
       s"""WITH m AS (
          |  SELECT event_type, COUNT(*) AS n, ${dsum("value")} AS s1,
