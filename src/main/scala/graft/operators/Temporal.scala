@@ -98,10 +98,42 @@ object Temporal {
       .orderBy($"o_orderpriority")
   }
 
+  /** Incremental JOIN-view maintenance: with base/delta splits A = A₀∪ΔA,
+    * B = B₀∪ΔB, the view V = γ(A⋈B) is refreshed as the merge of the old
+    * state γ(A₀⋈B₀) with the delta joins γ(ΔA⋈B₀) ∪ γ(A₀⋈ΔB) ∪ γ(ΔA⋈ΔB)
+    * — the batch statement of what a streaming join does per micro-batch.
+    * Every delta join keys on the same join column (one partitioning
+    * reused), merges are associative count/DECIMAL sums, and the oracle
+    * recomputes the view from the FULL join — proving the delta algebra
+    * exactly. At 100 TB the delta terms touch |Δ|-sized inputs, never the
+    * full base re-join.
+    */
+  def qIvmJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Sources.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey")
+    val l = Sources.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity")
+    val (o0, dO) = (o.where($"o_orderkey" % 7 =!= 0),
+      o.where($"o_orderkey" % 7 === 0))
+    val (l0, dL) = (l.where($"l_orderkey" % 5 =!= 0),
+      l.where($"l_orderkey" % 5 === 0))
+    def view(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(27, 6))).as("q_dec"))
+    view(o0, l0).union(view(dO, l0)).union(view(o0, dL)).union(view(dO, dL))
+      .groupBy($"o_custkey")
+      .agg(sum($"n").as("n_items"), sum($"q_dec").cast("double").as("sum_qty"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transitions" -> qTransitions,
     "q_scd2" -> qScd2,
-    "q_incremental_agg" -> qIncrementalAgg)
+    "q_incremental_agg" -> qIncrementalAgg,
+    "q_ivm_join" -> qIvmJoin)
 
   private val EV =
     """SELECT user_id, event_id,
@@ -141,6 +173,11 @@ object Temporal {
          |  LEAD(ts_s) OVER (PARTITION BY user_id
          |    ORDER BY ts_s, event_id) AS valid_to_s
          |FROM changes ORDER BY user_id, version""".stripMargin,
+    "q_ivm_join" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_incremental_agg" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
