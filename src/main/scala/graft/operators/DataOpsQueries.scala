@@ -276,6 +276,21 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup cluster-size histogram — the dedup REPORT: how much of the
+    * corpus sits in duplicate clusters of each size (the number a data
+    * curator reads before deciding thresholds). Reuses the MinHash-LSH
+    * pair chain + connected components; one extra label aggregate.
+    */
+  def qDedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
+    Dedup.dupClusters(pairs)
+      .groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
   /** Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4) in
     * ONE native pass ([[graft.plans.WinnowHashes]]) — the per-doc summary
     * is pure array arithmetic, zero shuffles; the oracle replays the
@@ -324,6 +339,7 @@ object DataOpsQueries {
     "q_winnow_pairs" -> qWinnowPairs,
     "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -473,6 +489,19 @@ object DataOpsQueries {
          |  (SELECT COUNT(*) FROM exact e LEFT JOIN mh_pairs m
          |     ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
          |   WHERE m.doc_a IS NULL) AS n_missed""".stripMargin,
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashChainSql(W)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(id, n) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.n = e.src),
+         |lbl AS (SELECT id, MIN(n) AS label FROM reach GROUP BY id),
+         |cs AS (SELECT label, COUNT(*) AS cluster_size FROM lbl GROUP BY label)
+         |SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE ${minhashChainSql(W)},
          |edges AS (
