@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("adjacent_pairs", "adjacent_pairs(array<string>) - space-joined adjacent token pairs") {
       e => AdjacentPairs(e.head)
     }
+    inject("winnow_hashes", "winnow_hashes(string) - winnowing fingerprints (k=8, w=4)") {
+      e => WinnowHashes(e.head, 8, 4)
+    }
+    inject("chunk_hashes", "chunk_hashes(string) - content-defined chunk hashes (k=8, mod 64)") {
+      e => ChunkHashes(e.head, 8, 64)
+    }
   }
 }

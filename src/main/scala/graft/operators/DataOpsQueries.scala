@@ -276,6 +276,26 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Ingest-gate dedup: an incoming batch (odd doc ids) checked against
+    * the existing corpus (even ids) — for every new document, the
+    * existing document(s) it near-duplicates at J >= 0.5. Runs the same
+    * lossless prefix-filtered AllPairs join as [[qDedupNgramJaccard]]
+    * (cross-side pairs share a prefix element like any other pair), then
+    * orients the report new → existing; the streaming twin is
+    * graft.streaming.StreamingDedup.
+    */
+  def qIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir)
+    Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
+      .filter(($"doc_a" % 2) =!= ($"doc_b" % 2))
+      .select(
+        when($"doc_a" % 2 === 1, $"doc_a").otherwise($"doc_b").as("new_doc"),
+        when($"doc_a" % 2 === 1, $"doc_b").otherwise($"doc_a").as("dup_of"),
+        $"jaccard")
+      .orderBy($"new_doc", $"dup_of")
+  }
+
   /** Near-dup cluster-size histogram — the dedup REPORT: how much of the
     * corpus sits in duplicate clusters of each size (the number a data
     * curator reads before deciding thresholds). Reuses the MinHash-LSH
@@ -340,6 +360,7 @@ object DataOpsQueries {
     "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
+    "q_ingest_dedup" -> qIngestDedup,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -489,6 +510,23 @@ object DataOpsQueries {
          |  (SELECT COUNT(*) FROM exact e LEFT JOIN mh_pairs m
          |     ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
          |   WHERE m.doc_a IS NULL) AS n_missed""".stripMargin,
+    "q_ingest_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
+         |  FROM documents),
+         |ne AS (SELECT doc_id, hs FROM h WHERE len(hs) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.hs, b.hs)) AS c,
+         |    len(a.hs) + len(b.hs) AS nab
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |    AND (a.doc_id % 2) <> (b.doc_id % 2))
+         |SELECT
+         |  CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
+         |  CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS dup_of,
+         |  CAST(c AS DOUBLE) / (nab - c) AS jaccard
+         |FROM p WHERE 3 * c >= nab
+         |ORDER BY new_doc, dup_of""".stripMargin,
     "q_dedup_cluster_sizes" ->
       s"""WITH RECURSIVE ${minhashChainSql(W)},
          |edges AS (
