@@ -19,6 +19,7 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val metrics = MetricsCollector.attach(spark)
     val src = StreamOps.genSource(spark, rowsPerSecond = 200)
       .select($"timestamp".as("ts"), ($"value" % 5).as("key"),
         ($"value" % 100).cast("double").as("value"))
@@ -35,6 +36,11 @@ object StreamDemo {
     val n = rows.count()
     rows.show(20, truncate = false)
     println(s"[stream-demo] closed windows emitted: $n (batches: ${q.recentProgress.length})")
+    metrics.report().foreach { m =>
+      println(f"[stream-demo] metrics ${m.name}: batches=${m.nBatches} " +
+        f"rows=${m.totalInputRows} stateRows=${m.maxStateRows} " +
+        f"meanBatchMs=${m.meanBatchMs}%.1f maxBatchMs=${m.maxBatchMs}")
+    }
     q.stop()
     spark.stop()
     assert(n > 0, "no windows emitted")
