@@ -238,6 +238,36 @@ object DataOpsQueries {
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
   }
 
+  /** Vocabulary-coverage curve (the tokenizer-design metric): rank terms
+    * by corpus frequency and report, at power-of-ten vocab cuts and the
+    * full vocabulary, the cumulative fraction of token mass covered
+    * (ppm, floored — integer-exact both engines). One scan + one count
+    * aggregate + one window over the tiny (term, count) table.
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Sources.documents(s, dir)
+      .select(explode(filter(split(lower($"text"), "[^a-z]+"),
+        t => t =!= "")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the window AND the totals broadcast
+    val order = Window.orderBy($"c".desc, $"term")
+    val ranked = counts
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum",
+        sum($"c").over(order.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(counts.agg(sum($"c").as("total"),
+        count(lit(1)).as("n_terms"))))
+    ranked
+      .filter($"rank" === 10 || $"rank" === 100 || $"rank" === 1000 ||
+        $"rank" === $"n_terms")
+      .select($"rank".as("vocab_size"),
+        expr("cum * 1000000L DIV total").as("coverage_ppm"), $"n_terms")
+      .orderBy($"vocab_size")
+  }
+
   def qTextTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Sources.documents(s, dir).select(
@@ -373,6 +403,7 @@ object DataOpsQueries {
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_ivf" -> qAnnIvf,
     "q_knn_join" -> qKnnJoin,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,
@@ -653,6 +684,23 @@ object DataOpsQueries {
          |SELECT vec_id, label, ${cos("embedding", "qv")} AS cos
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT t.term, COUNT(*) AS c
+         |  FROM documents, UNNEST($W) AS t(term)
+         |  GROUP BY t.term),
+         |tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_terms FROM counts),
+         |ranked AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT)
+         |      AS rank,
+         |    SUM(c) OVER (ORDER BY c DESC, term
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM counts)
+         |SELECT rank AS vocab_size, (cum * 1000000) // total AS coverage_ppm,
+         |  n_terms
+         |FROM ranked, tot
+         |WHERE rank IN (10, 100, 1000) OR rank = n_terms
+         |ORDER BY vocab_size""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id,
          |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))

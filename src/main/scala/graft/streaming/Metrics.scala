@@ -25,7 +25,8 @@ final class MetricsCollector extends StreamingQueryListener {
       inputRows: Long,
       processedRowsPerSec: Double,
       batchDurationMs: Long,
-      stateRows: Long)
+      stateRows: Long,
+      watermark: String)
 
   final case class QuerySummary(
       name: String,
@@ -33,7 +34,8 @@ final class MetricsCollector extends StreamingQueryListener {
       totalInputRows: Long,
       maxStateRows: Long,
       meanBatchMs: Double,
-      maxBatchMs: Long)
+      maxBatchMs: Long,
+      lastWatermark: String)
 
   private val samples = TrieMap.empty[String, ArrayBuffer[BatchSample]]
 
@@ -47,10 +49,12 @@ final class MetricsCollector extends StreamingQueryListener {
       .map(_.longValue).getOrElse(0L)
     val state = Option(p.stateOperators).toSeq.flatten
       .map(_.numRowsTotal).sum
+    val wm = Option(p.eventTime).map(_.get("watermark")).flatMap(Option(_))
+      .getOrElse("")
     val buf = samples.getOrElseUpdate(name, ArrayBuffer.empty)
     buf.synchronized {
       buf += BatchSample(p.batchId, p.numInputRows,
-        p.processedRowsPerSecond, duration, state)
+        p.processedRowsPerSecond, duration, state, wm)
     }
   }
 
@@ -66,7 +70,9 @@ final class MetricsCollector extends StreamingQueryListener {
         meanBatchMs =
           if (snap.isEmpty) 0.0
           else snap.map(_.batchDurationMs).sum.toDouble / snap.size,
-        maxBatchMs = if (snap.isEmpty) 0L else snap.map(_.batchDurationMs).max)
+        maxBatchMs = if (snap.isEmpty) 0L else snap.map(_.batchDurationMs).max,
+        lastWatermark = snap.reverseIterator
+          .map(_.watermark).find(_.nonEmpty).getOrElse(""))
     }
 
   def summary(name: String): Option[QuerySummary] =
