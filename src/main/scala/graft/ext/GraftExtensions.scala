@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("chunk_hashes", "chunk_hashes(string) - content-defined chunk hashes (k=8, mod 64)") {
       e => ChunkHashes(e.head, 8, 64)
     }
+    inject("topk", "topk(bigint score, bigint id) - exact bounded-heap top-k aggregate") {
+      e => TopKAgg(e.head, e(1), 10).toAggregateExpression()
+    }
   }
 }

@@ -82,13 +82,49 @@ object Sampling2 {
       .orderBy($"o_orderpriority", $"o_orderdate_s", $"o_orderkey")
   }
 
+  /** Top-k per group via the native bounded-heap aggregate
+    * ([[graft.plans.TopKAgg]]): map-side partials carry at most k rows
+    * per group per partition, vs the rank-window twin that shuffles
+    * EVERY row before discarding all but k — the skewed-hot-key safe
+    * formulation. Exact (merge of top-k heaps = top-k of union), so the
+    * oracle is a plain `row_number()` window.
+    */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopKAgg.register(s, k = 5)
+    Sources.orders(s, dir)
+      .select($"o_orderpriority", cents($"o_totalprice").as("price_c"),
+        $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(graft.plans.TopKAgg.topk($"price_c", $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+        $"col.score".as("price_c"), $"col.id".as("o_orderkey"))
+      .orderBy($"o_orderpriority", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weighted_sample" -> qWeightedSample,
-    "q_skyline" -> qSkyline)
+    "q_skyline" -> qSkyline,
+    "q_topk_pergroup" -> qTopkPerGroup)
 
   private def md(e: String) = s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_topk_pergroup" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, price_c, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY price_c DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM o)
+        |SELECT o_orderpriority, rank, price_c, o_orderkey FROM r
+        |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH w AS (
          |  SELECT o_orderkey, o_orderpriority,
