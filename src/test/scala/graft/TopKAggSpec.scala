@@ -34,6 +34,29 @@ class TopKAggSpec extends AnyFunSuite {
     assert(a == expect)
   }
 
+  test("topk maintains exact leaders across streaming micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.plans.TopKAgg.register(spark, k = 2)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    val agg = in.toDS().toDF("g", "score", "id")
+      .groupBy($"g").agg(graft.plans.TopKAgg.topk($"score", $"id").as("top"))
+    val q = graft.streaming.StreamOps.toMemorySink(agg, "topk_stream", "complete")
+    try {
+      in.addData(("g1", 10L, 1L), ("g1", 30L, 2L), ("g2", 5L, 3L))
+      q.processAllAvailable()
+      in.addData(("g1", 20L, 4L), ("g2", 50L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("topk_stream")
+        .select($"g", $"top").collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1)))).toMap
+      // cross-batch state: g1's batch-2 row (20,4) displaces (10,1)
+      assert(got("g1") == Seq((30L, 2L), (20L, 4L)))
+      assert(got("g2") == Seq((50L, 5L), (5L, 3L)))
+    } finally q.stop()
+  }
+
   test("topk plans as a partial+final aggregate, not a window") {
     import spark.implicits._
     TopKAgg.register(spark, k = 3)
