@@ -79,6 +79,48 @@ object DataOpsQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** SimHash quality evaluation against the exact Jaccard >= 0.5 ground
+    * truth: precision/recall (ppm, integer) of Hamming <= 5 SimHash pairs.
+    * Candidates come from 10-bit signature-chunk banding — lossless by
+    * pigeonhole (6 chunks, <= 5 differing bits → >= 1 chunk equal), never
+    * the O(n²) signature cross-join; the oracle brute-forces both sides
+    * at oracle SF. SimHash approximates a different similarity than
+    * Jaccard, so both error directions are real — this is the report
+    * that says whether Hamming <= 5 is the right gate for THIS corpus.
+    */
+  def qSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.SimHashBits.register(s, bits = 60)
+    graft.plans.ShingleHashes.registerTokenHashes(s)
+    val sigs = Sources.documents(s, dir)
+      .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+        graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
+      .localCheckpoint(true)
+    val chunks = array((0 until 6).map(c =>
+      struct(lit(c).as("ck"),
+        shiftright($"sim", c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
+    val banded = sigs.select($"doc_id", $"sim", explode(chunks).as("b"))
+      .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+    val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+    val sh = banded.join(other, Seq("ck", "cv"))
+      .filter($"doc_id" < $"doc_id_b")
+      .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+      .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val exact = Dedup.jaccardPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      Seq.empty, 0.5, preHashed = true)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    val both = sh.join(exact, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
+    sh.agg(count(lit(1)).as("n_simhash"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(both)
+      .select($"n_simhash", $"n_exact", $"n_both",
+        expr("n_both * 1000000L DIV greatest(n_simhash, 1)").as("prec_ppm"),
+        expr("n_both * 1000000L DIV greatest(n_exact, 1)").as("rec_ppm"))
+  }
+
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.embeddingPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
@@ -397,6 +439,7 @@ object DataOpsQueries {
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_minhash_eval" -> qMinhashEval,
+    "q_simhash_eval" -> qSimhashEval,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
@@ -584,6 +627,35 @@ object DataOpsQueries {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
          |ORDER BY doc_id""".stripMargin,
+    "q_simhash_eval" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($W, w -> ${md("w")}) AS tok,
+         |    list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, hs,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN 2 * len(list_filter(tok, h -> ((h >> b) & 1) = 1)) > len(tok)
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+         |  FROM t),
+         |sh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 5),
+         |ne AS (SELECT doc_id, hs FROM sg WHERE len(hs) > 0),
+         |exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
+         |c AS (
+         |  SELECT (SELECT COUNT(*) FROM sh) AS n_simhash,
+         |    (SELECT COUNT(*) FROM exact) AS n_exact,
+         |    (SELECT COUNT(*) FROM sh JOIN exact
+         |       ON sh.doc_a = exact.doc_a AND sh.doc_b = exact.doc_b) AS n_both)
+         |SELECT n_simhash, n_exact, n_both,
+         |  n_both * 1000000 // GREATEST(n_simhash, 1) AS prec_ppm,
+         |  n_both * 1000000 // GREATEST(n_exact, 1) AS rec_ppm
+         |FROM c""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars//100 AS lb,
