@@ -56,9 +56,41 @@ object Chunking {
       .orderBy($"doc_id")
   }
 
+  /** Directed chunk containment: document A flagged as living inside B
+    * when ≥ 80% of A's RARE distinct chunks (document frequency ≤ 100 —
+    * a chunk in more docs is boilerplate carrying no containment signal,
+    * and at scale its posting group is the quadratic blowup) also occur
+    * in B, with A having ≥ 3 rare chunks. The chunk-level analogue of
+    * [[Dedup.containmentPairs]]: catches quoted/wrapped copies that
+    * whole-doc similarity dilutes. Posting equi-join on the chunk hash —
+    * never a doc×doc product; integer 5·shared ≥ 4·n gate.
+    */
+  def qChunkContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.ChunkHashes.register(s, k = 8, modulus = 64)
+    val ch = Sources.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(
+        graft.plans.ChunkHashes.chunkHashes($"text"))).as("h"))
+      .localCheckpoint(true)
+    val rare = ch.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 100).select($"h")
+    val kept = ch.join(rare, "h").localCheckpoint(true)
+    val nsub = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+    val other = kept.toDF("h", "doc_sup")
+    kept.join(other, "h")
+      .filter($"doc_id" =!= $"doc_sup")
+      .groupBy($"doc_id".as("doc_sub"), $"doc_sup")
+      .agg(count(lit(1)).as("shared"))
+      .join(nsub.withColumnRenamed("doc_id", "doc_sub"), "doc_sub")
+      .filter($"n_rare" >= 3 && $"shared" * 5 >= $"n_rare" * 4)
+      .select($"doc_sub", $"doc_sup", $"shared", $"n_rare")
+      .orderBy($"doc_sub", $"doc_sup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_chunks" -> qCdcChunks,
-    "q_cdc_profile" -> qCdcProfile)
+    "q_cdc_profile" -> qCdcProfile,
+    "q_chunk_containment" -> qChunkContainment)
 
   /** DuckDB twin of [[graft.functions.portableHash64]]. */
   private def md(e: String) = s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
@@ -106,5 +138,20 @@ object Chunking {
          |SELECT doc_id, COUNT(*) AS n_chunks,
          |  COUNT(DISTINCT ${md("chunk")}) AS n_uniq,
          |  MIN(${md("chunk")}) AS min_ch, MAX(${md("chunk")}) AS max_ch
-         |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_chunk_containment" ->
+      s"""WITH $chunksCte,
+         |ch AS (SELECT DISTINCT doc_id, ${md("chunk")} AS h FROM chunks),
+         |rare AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) <= 100),
+         |kept AS (SELECT doc_id, ch.h FROM ch JOIN rare ON ch.h = rare.h),
+         |nsub AS (SELECT doc_id, COUNT(*) AS n_rare FROM kept GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+         |    COUNT(*) AS shared
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_sub, doc_sup, shared, n_rare
+         |FROM p JOIN nsub ON p.doc_sub = nsub.doc_id
+         |WHERE n_rare >= 3 AND shared * 5 >= n_rare * 4
+         |ORDER BY doc_sub, doc_sup""".stripMargin)
 }

@@ -129,11 +129,44 @@ object Temporal {
       .orderBy($"o_custkey")
   }
 
+  /** Interval-union coverage per user (the "total active time" shape):
+    * each event opens an interval [ts, ts + value seconds]; overlapping
+    * intervals merge, and the report is each user's union length and
+    * merged-segment count. ONE ordered window pass per key — the
+    * classic sweep-line as a running max of interval ends (a new segment
+    * starts where the running max of all PREVIOUS ends stays below the
+    * next start), never an interval×interval self-join. All arithmetic
+    * on epoch-second bigints.
+    */
+  def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Sources.events(s, dir)
+      .select($"user_id", epochS($"ts").as("st"),
+        (epochS($"ts") + ($"value".cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("en"))
+    val byStart = Window.partitionBy($"user_id").orderBy($"st", $"en")
+    // running max of ends over STRICTLY previous rows; null for the first
+    val prevMax = max($"en").over(byStart.rowsBetween(
+      Window.unboundedPreceding, -1))
+    val seg = iv
+      .withColumn("new_seg",
+        when(prevMax.isNull || prevMax < $"st", 1L).otherwise(0L))
+      .withColumn("seg_id", sum($"new_seg").over(byStart))
+    seg.groupBy($"user_id", $"seg_id")
+      .agg(min($"st").as("seg_start"), max($"en").as("seg_end"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"seg_end" - $"seg_start").as("covered_s"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transitions" -> qTransitions,
     "q_scd2" -> qScd2,
     "q_incremental_agg" -> qIncrementalAgg,
-    "q_ivm_join" -> qIvmJoin)
+    "q_ivm_join" -> qIvmJoin,
+    "q_interval_union" -> qIntervalUnion)
 
   private val EV =
     """SELECT user_id, event_id,
@@ -173,6 +206,29 @@ object Temporal {
          |  LEAD(ts_s) OVER (PARTITION BY user_id
          |    ORDER BY ts_s, event_id) AS valid_to_s
          |FROM changes ORDER BY user_id, version""".stripMargin,
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS st,
+        |    epoch_ns(ts) // 1000000000 +
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS en
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, st, en,
+        |    CASE WHEN COALESCE(max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) < st THEN 1 ELSE 0 END AS new_seg
+        |  FROM iv),
+        |seg2 AS (
+        |  SELECT user_id, st, en,
+        |    SUM(new_seg) OVER (PARTITION BY user_id ORDER BY st, en)
+        |      AS seg_id
+        |  FROM seg),
+        |m AS (
+        |  SELECT user_id, seg_id, MIN(st) AS s, MAX(en) AS e
+        |  FROM seg2 GROUP BY user_id, seg_id)
+        |SELECT user_id, COUNT(*) AS n_segments, SUM(e - s) AS covered_s
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ivm_join" ->
       """SELECT o_custkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
