@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental CHUNK-level dedup over a document stream — the streaming
+  * twin of [[graft.operators.Chunking]]: each micro-batch splits its
+  * documents with the content-defined chunker (native
+  * [[graft.plans.ChunkHashes]]), reports per document how much of its
+  * content already exists (in the accumulated chunk store OR earlier in
+  * the same batch), and appends the new chunk hashes to the store.
+  *
+  * Scale shape: per batch the work is O(batch) chunking + one equi-join
+  * against the store keyed on the 60-bit chunk hash; the store is
+  * append-only parquet partitioned by a hash bucket (compactable like
+  * [[StreamingDedup.compactStore]]). No old document is ever re-chunked.
+  */
+object StreamingChunkDedup {
+
+  private val Buckets = 16
+
+  def start(docs: DataFrame, storeDir: String, flagDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, storeDir, flagDir)
+      }
+      .start()
+
+  /** One micro-batch step (factored out for direct testing). */
+  def processBatch(batch: DataFrame, storeDir: String, flagDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    graft.plans.ChunkHashes.register(spark, k = 8, modulus = 64)
+    val ch = batch.select(col("doc_id"), explode(array_distinct(
+        graft.plans.ChunkHashes.chunkHashes(col("text")))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store =
+        if (new java.io.File(storeDir).exists)
+          Some(spark.read.parquet(storeDir).select(col("h")).distinct())
+        else None
+      val storeHits = store.map(st => ch.join(st, "h"))
+      // within-batch: a chunk counts as duplicated for every doc after
+      // its first (smallest-id) owner in this batch
+      val owners = ch.groupBy(col("h")).agg(min(col("doc_id")).as("first_owner"))
+      val batchHits = ch.join(owners, "h")
+        .filter(col("doc_id") > col("first_owner"))
+        .select(col("doc_id"), col("h"))
+      val dups = storeHits.fold(batchHits)(batchHits.unionByName(_)).distinct()
+      val report = ch.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+        .join(dups.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"))
+      report.write.mode(SaveMode.Append).parquet(flagDir)
+      ch.select(col("h"), pmod(col("h"), lit(Buckets)).as("hb")).distinct()
+        .repartition(col("hb"))
+        .write.partitionBy("hb").mode(SaveMode.Append).parquet(storeDir)
+    } finally ch.unpersist()
+  }
+}
