@@ -368,6 +368,33 @@ object DataOpsQueries {
       .orderBy($"new_doc", $"dup_of")
   }
 
+  /** LSH band-configuration sweep — the tuning table for the MinHash
+    * dedup: recall vs the exact Jaccard >= 0.5 set for bands ∈ {8,16,32}
+    * (rows-per-band 8/4/2, S-curve thresholds ≈ 0.77/0.55/0.31). One
+    * signature computation feeds all three bandings; verified LSH pairs
+    * are a subset of the exact set, so recall = n_lsh / n_exact with no
+    * extra anti-join. This is the report that justifies the b=16 default
+    * the dedup family ships with.
+    */
+  def qLshSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir).localCheckpoint(true)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+      preHashed = true)
+      .agg(count(lit(1)).as("n_exact"))
+    val rows = Seq(8, 16, 32).map { b =>
+      Dedup.minhashLshPairs(docs, "doc_id", "sh",
+        numHashes = 64, bands = b, threshold = 0.5, preHashed = true)
+        .agg(count(lit(1)).as("n_lsh"))
+        .select(lit(b.toLong).as("bands"), $"n_lsh")
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(exact))
+      .select($"bands", $"n_lsh", $"n_exact",
+        expr("n_lsh * 1000000L DIV greatest(n_exact, 1)").as("rec_ppm"))
+      .orderBy($"bands")
+  }
+
   /** Near-dup cluster-size histogram — the dedup REPORT: how much of the
     * corpus sits in duplicate clusters of each size (the number a data
     * curator reads before deciding thresholds). Reuses the MinHash-LSH
@@ -440,6 +467,7 @@ object DataOpsQueries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_minhash_eval" -> qMinhashEval,
     "q_simhash_eval" -> qSimhashEval,
+    "q_lsh_sweep" -> qLshSweep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
@@ -465,6 +493,53 @@ object DataOpsQueries {
     * `mh_pairs(doc_a, doc_b, jaccard)`. 64 hashes, 16 bands of 4 rows,
     * threshold 0.5 — matching `q_dedup_minhash`/`q_dedup_corpus`.
     */
+  /** DuckDB twin of [[qLshSweep]]: the shared hashed/ne/sig front matter,
+    * one banded/cand/count chain per band configuration, and the exact
+    * pair count from the integer-form Jaccard gate.
+    */
+  private def lshSweepOracle: String = {
+    def chain(b: Int): String = {
+      val r = 64 / b
+      s"""banded$b AS (
+         |  SELECT doc_id, t.bb,
+         |    list_slice(sg, CAST(t.bb*$r+1 AS BIGINT), CAST(t.bb*$r+$r AS BIGINT)) AS bk
+         |  FROM sig CROSS JOIN range(0, $b) t(bb)),
+         |cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded$b a JOIN banded$b b ON a.bb = b.bb AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id),
+         |cnt$b AS (
+         |  SELECT COUNT(*) AS n_lsh
+         |  FROM cand$b c JOIN ne x ON c.doc_a = x.doc_id
+         |    JOIN ne y ON c.doc_b = y.doc_id
+         |  WHERE 3 * len(list_intersect(x.hs, y.hs)) >= len(x.hs) + len(y.hs))""".stripMargin
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
+       |  FROM documents),
+       |ne AS (SELECT doc_id, hs FROM hashed WHERE len(hs) > 0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      coalesce(list_min(list_filter(hs, h -> h % 64 = i)),
+       |               list_min(hs) + i)) AS sg
+       |  FROM ne),
+       |exact AS (
+       |  SELECT COUNT(*) AS n_exact
+       |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+       |  WHERE 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
+       |${Seq(8, 16, 32).map(chain).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(8 AS BIGINT) AS bands, n_lsh, n_exact,
+       |    n_lsh * 1000000 // GREATEST(n_exact, 1) AS rec_ppm
+       |  FROM cnt8, exact
+       |  UNION ALL SELECT 16, n_lsh, n_exact,
+       |    n_lsh * 1000000 // GREATEST(n_exact, 1) FROM cnt16, exact
+       |  UNION ALL SELECT 32, n_lsh, n_exact,
+       |    n_lsh * 1000000 // GREATEST(n_exact, 1) FROM cnt32, exact)
+       |ORDER BY bands""".stripMargin
+  }
+
   private def minhashChainSql(w: String): String =
     s"""hashed AS (
        |  SELECT doc_id, list_distinct(list_transform(${shingleSql(w)}, s -> ${md("s")})) AS hs
@@ -627,6 +702,7 @@ object DataOpsQueries {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
          |ORDER BY doc_id""".stripMargin,
+    "q_lsh_sweep" -> lshSweepOracle,
     "q_simhash_eval" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_transform($W, w -> ${md("w")}) AS tok,
