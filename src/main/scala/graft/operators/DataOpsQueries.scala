@@ -844,7 +844,8 @@ object DataOpsQueries {
          |    SUM(c) OVER (ORDER BY c DESC, term
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM counts)
-         |SELECT rank AS vocab_size, (cum * 1000000) // total AS coverage_ppm,
+         |SELECT rank AS vocab_size,
+         |  CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm,
          |  n_terms
          |FROM ranked, tot
          |WHERE rank IN (10, 100, 1000) OR rank = n_terms

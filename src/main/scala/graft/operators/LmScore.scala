@@ -83,8 +83,8 @@ object LmScore {
         |  FROM pairs p LEFT JOIN top t ON p.pr = t.pr
         |  GROUP BY p.doc_id)
         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(s.n_oov, 0) AS n_oov,
-        |  COALESCE(s.seen_cnt_sum, 0) AS seen_cnt_sum
+        |  CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(s.seen_cnt_sum, 0) AS BIGINT) AS seen_cnt_sum
         |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -121,7 +121,7 @@ object Pack {
          |  SELECT ntok, COALESCE(SUM(ntok) OVER (ORDER BY h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
          |  FROM t)
-         |SELECT off // 1024 AS bin, COUNT(*) AS n_docs,
+         |SELECT CAST(off // 1024 AS BIGINT) AS bin, COUNT(*) AS n_docs,
          |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
          |  CAST(SUM(CASE WHEN (off + ntok - 1) // 1024 > off // 1024
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle

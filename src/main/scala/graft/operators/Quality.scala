@@ -72,17 +72,18 @@ object Quality {
     "q_expectations" ->
       """WITH rr AS (
         |  SELECT COUNT(*) AS n_rows,
-        |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
-        |      THEN 1 ELSE 0 END) AS bad_qty,
-        |    SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
-        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1
-        |      THEN 1 ELSE 0 END) AS bad_discount,
-        |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
-        |      AS null_shipdate
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neg_price,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_shipdate
         |  FROM lineitem),
         |pk AS (
         |  SELECT COUNT(*) AS n_keys,
-        |    SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dups
+        |    CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS dups
         |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
         |        GROUP BY o_orderkey)),
         |oli AS (

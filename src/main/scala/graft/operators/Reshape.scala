@@ -104,28 +104,32 @@ object Reshape {
          |    o_orderpriority
          |  FROM orders)
          |SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n,
-         |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_null,
          |  COUNT(DISTINCT o_orderkey) AS n_distinct,
          |  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
          |  CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM o
          |UNION ALL
          |SELECT 'o_custkey', COUNT(o_custkey),
-         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          |  COUNT(DISTINCT o_custkey),
          |  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM o
          |UNION ALL
          |SELECT 'o_totalprice', COUNT(o_totalprice),
-         |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT),
          |  COUNT(DISTINCT o_totalprice),
          |  MIN(o_totalprice), MAX(o_totalprice) FROM o
          |UNION ALL
          |SELECT 'o_orderdate_s', COUNT(o_orderdate_s),
-         |  SUM(CASE WHEN o_orderdate_s IS NULL THEN 1 ELSE 0 END),
+         |  CAST(SUM(CASE WHEN o_orderdate_s IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT),
          |  COUNT(DISTINCT o_orderdate_s),
          |  CAST(MIN(o_orderdate_s) AS DOUBLE), CAST(MAX(o_orderdate_s) AS DOUBLE) FROM o
          |UNION ALL
          |SELECT 'o_orderpriority', COUNT(o_orderpriority),
-         |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT),
          |  COUNT(DISTINCT o_orderpriority),
          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM o
          |ORDER BY col_name""".stripMargin)

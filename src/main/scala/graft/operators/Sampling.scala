@@ -67,7 +67,7 @@ object Sampling {
          |    COUNT(*) OVER (PARTITION BY lang, source) AS total
          |  FROM h)
          |SELECT lang, source, MAX(total) AS n_total,
-         |  COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+         |  COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM r WHERE rn <= (total * 10 + 99) // 100
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
 }

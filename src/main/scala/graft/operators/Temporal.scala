@@ -227,7 +227,8 @@ object Temporal {
         |m AS (
         |  SELECT user_id, seg_id, MIN(st) AS s, MAX(en) AS e
         |  FROM seg2 GROUP BY user_id, seg_id)
-        |SELECT user_id, COUNT(*) AS n_segments, SUM(e - s) AS covered_s
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_s
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ivm_join" ->
       """SELECT o_custkey, COUNT(*) AS n_items,

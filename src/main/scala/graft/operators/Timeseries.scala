@@ -144,10 +144,11 @@ object Timeseries {
          |    (s2*n - s1*s1)/(n*n) AS var_pop
          |  FROM m)
          |SELECT e.event_type, MAX(mm.n) AS n,
-         |  SUM(CASE WHEN (e.value - mm.mean)*(e.value - mm.mean)
-         |        > 4.0*mm.var_pop THEN 1 ELSE 0 END) AS n_outliers,
-         |  SUM(CASE WHEN (e.value - mm.mean)*(e.value - mm.mean)
-         |        > 4.0*mm.var_pop THEN e.event_id ELSE 0 END) AS outlier_id_sum
+         |  CAST(SUM(CASE WHEN (e.value - mm.mean)*(e.value - mm.mean)
+         |        > 4.0*mm.var_pop THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(SUM(CASE WHEN (e.value - mm.mean)*(e.value - mm.mean)
+         |        > 4.0*mm.var_pop THEN e.event_id ELSE 0 END) AS BIGINT)
+         |    AS outlier_id_sum
          |FROM events e JOIN mm ON e.event_type = mm.event_type
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_resample_ffill" ->

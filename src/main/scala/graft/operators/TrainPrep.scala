@@ -95,11 +95,12 @@ object TrainPrep {
          |SELECT query_id, vec_id, neg_label, cos FROM r WHERE rn <= 5
          |ORDER BY query_id, vec_id""".stripMargin,
     "q_source_profile" ->
-      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  COUNT(DISTINCT md5(text)) AS n_uniq_texts,
-        |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_class_balance" ->
       """WITH c AS (

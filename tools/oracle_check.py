@@ -33,6 +33,15 @@ def compare(name: str, exp: pd.DataFrame, got: pd.DataFrame) -> str:
     if len(exp) != len(got):
         return f"ROWS expected={len(exp)} got={len(got)}"
     exp, got = canon(exp), canon(got)
+    # Dtype-strict: the driver's hash is dtype-sensitive (DuckDB HUGEINT
+    # surfaces as float64 while Spark emits int64 — equal values, different
+    # hash). Flag any int-vs-float mismatch instead of float-casting it away.
+    for c in exp.columns:
+        e_f = pd.api.types.is_float_dtype(exp[c])
+        g_f = pd.api.types.is_float_dtype(got[c])
+        if e_f != g_f:
+            return (f"DTYPE col {c}: oracle={exp[c].dtype} spark={got[c].dtype}"
+                    " (driver hash will mismatch; CAST the oracle)")
     for c in exp.columns:
         e, g = exp[c], got[c]
         if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
