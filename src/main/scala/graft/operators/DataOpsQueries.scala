@@ -283,23 +283,28 @@ object DataOpsQueries {
   /** Vocabulary-coverage curve (the tokenizer-design metric): rank terms
     * by corpus frequency and report, at power-of-ten vocab cuts and the
     * full vocabulary, the cumulative fraction of token mass covered
-    * (ppm, floored — integer-exact both engines). One scan + one count
-    * aggregate + one window over the tiny (term, count) table.
+    * (ppm, floored — integer-exact both engines).
+    *
+    * Scale shape: a 100 TB corpus has a vocabulary in the hundreds of
+    * millions, so the global rank and running mass come from ONE
+    * range-partitioned two-phase prefix-sum pass
+    * ([[Pack.exclusivePrefixSums]]: per-partition sort + metadata-sized
+    * offsets collect) — no single-partition window anywhere in the plan.
     */
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val counts = Sources.documents(s, dir)
       .select(explode(filter(split(lower($"text"), "[^a-z]+"),
         t => t =!= "")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds the window AND the totals broadcast
-    val order = Window.orderBy($"c".desc, $"term")
-    val ranked = counts
-      .withColumn("rank", row_number().over(order).cast("long"))
-      .withColumn("cum",
-        sum($"c").over(order.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+      .localCheckpoint(true) // feeds the prefix pass AND the totals
+    // ascending (-c, term) ≡ (c desc, term): rank = prefix-count + 1,
+    // cumulative mass = prefix-sum + own count — one shuffle for both
+    val ranked = Pack.exclusivePrefixSums(
+        counts.withColumn("_negc", -$"c").withColumn("_one", lit(1L)),
+        Seq("_negc", "term"), Seq("_one" -> "_rank0", "c" -> "_cum0"))
+      .withColumn("rank", $"_rank0" + 1L)
+      .withColumn("cum", $"_cum0" + $"c")
       .crossJoin(broadcast(counts.agg(sum($"c").as("total"),
         count(lit(1)).as("n_terms"))))
     ranked

@@ -13,16 +13,23 @@ import graft.sources.Sources
   *    query terms (the [[SparseSim]] weighting) over one corpus scan;
   *  - vector side: one-pass [[graft.plans.VecCosine]] against the query
   *    embedding (doc_id ≡ vec_id on the synthetic corpus);
-  *  - both rankings are window row_numbers with deterministic
-  *    tie-breaks; a full outer join on doc id fuses them (a doc missing
-  *    from one ranking contributes nothing for that side — standard RRF).
+  *  - both rankings are TRUNCATED to the top [[CandidateDepth]] docs
+  *    (standard practice: RRF fuses the heads of each retriever's list,
+  *    not full-corpus rankings); a doc outside a modality's head
+  *    contributes nothing for that side — same as a doc missing from
+  *    the ranking entirely;
+  *  - a full outer join on doc id fuses the two heads.
   *
-  * Scale shape: two corpus scans (one per modality), two top-cap windows
-  * (rank windows over per-modality CANDIDATE sets — lexical candidates
-  * only score > 0, vector candidates would come from the IVF probe at
-  * 100 TB), one join keyed on doc id.
+  * Scale shape: two corpus scans (one per modality); each head is a
+  * distributed top-k (`TakeOrderedAndProject`: per-partition heaps, no
+  * global sort), so the only rank window runs over ≤ [[CandidateDepth]]
+  * rows — the full corpus is never pulled into one partition. At 100 TB
+  * the vector head would come from the IVF probe instead of the scan.
   */
 object Hybrid {
+
+  /** Per-modality candidate-list depth fused by RRF. */
+  val CandidateDepth = 100
 
   def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -43,9 +50,16 @@ object Hybrid {
     val lex = tf.join(broadcast(idf), "term")
       .groupBy($"doc_id")
       .agg(sum($"tf" * $"idf").as("lex_score"))
-    val lexRank = lex.withColumn("rank_t",
-      row_number().over(Window.orderBy($"lex_score".desc, $"doc_id"))
-        .cast("long"))
+    // distributed top-k first (per-partition heaps), THEN the rank
+    // window — it only ever sees CandidateDepth rows
+    // the constant partition key is deliberate: input is bounded to
+    // CandidateDepth rows by the limit, so one partition is the point
+    val one = Window.partitionBy(lit(0))
+    val lexRank = lex
+      .orderBy($"lex_score".desc, $"doc_id").limit(CandidateDepth)
+      .withColumn("rank_t",
+        row_number().over(one.orderBy($"lex_score".desc, $"doc_id"))
+          .cast("long"))
 
     // vector: cosine vs vec_id 0 over the doc-aligned embedding slice
     val emb = Sources.embeddings(s, dir).filter($"vec_id" < nDocs)
@@ -53,9 +67,11 @@ object Hybrid {
     val vec = emb.crossJoin(broadcast(qv))
       .select($"vec_id".as("doc_id"),
         graft.plans.VecCosine.cosine($"embedding", $"_qv").as("cos"))
-    val vecRank = vec.withColumn("rank_v",
-      row_number().over(Window.orderBy($"cos".desc, $"doc_id"))
-        .cast("long"))
+    val vecRank = vec
+      .orderBy($"cos".desc, $"doc_id").limit(CandidateDepth)
+      .withColumn("rank_v",
+        row_number().over(one.orderBy($"cos".desc, $"doc_id"))
+          .cast("long"))
 
     lexRank.select($"doc_id", $"rank_t")
       .join(vecRank.select($"doc_id", $"rank_v"), Seq("doc_id"), "full_outer")
@@ -91,9 +107,10 @@ object Hybrid {
          |  SELECT doc_id, SUM(tf * idf) AS lex_score
          |  FROM tf JOIN idf USING (term) GROUP BY doc_id),
          |lex_rank AS (
-         |  SELECT doc_id, CAST(row_number() OVER (
-         |    ORDER BY lex_score DESC, doc_id) AS BIGINT) AS rank_t
-         |  FROM lex),
+         |  SELECT doc_id, rank_t FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY lex_score DESC, doc_id) AS BIGINT) AS rank_t
+         |    FROM lex) WHERE rank_t <= 100),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |vec AS (
          |  SELECT e.vec_id AS doc_id,
@@ -101,9 +118,10 @@ object Hybrid {
          |              sqrt(${Cos.replace("e.embedding", "q.qv")})) AS cos
          |  FROM embeddings e, q, n WHERE e.vec_id < n.n_docs),
          |vec_rank AS (
-         |  SELECT doc_id, CAST(row_number() OVER (
-         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
-         |  FROM vec)
+         |  SELECT doc_id, rank_v FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
+         |    FROM vec) WHERE rank_v <= 100)
          |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
          |  COALESCE(1000000000 // (60 + rank_t), 0) +
          |    COALESCE(1000000000 // (60 + rank_v), 0) AS fused,

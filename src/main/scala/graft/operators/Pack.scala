@@ -31,7 +31,16 @@ object Pack {
     * and the output pass read the same materialization.
     */
   def exclusivePrefixSum(df: DataFrame, orderCols: Seq[String],
-      valueCol: String, outCol: String, numParts: Int = 0): DataFrame = {
+      valueCol: String, outCol: String, numParts: Int = 0): DataFrame =
+    exclusivePrefixSums(df, orderCols, Seq(valueCol -> outCol), numParts)
+
+  /** Multi-column [[exclusivePrefixSum]]: one range shuffle computes an
+    * exclusive running sum for EVERY (valueCol, outCol) pair — e.g. a
+    * global rank (prefix of ones) and a cumulative mass (prefix of a
+    * count) in the same pass.
+    */
+  def exclusivePrefixSums(df: DataFrame, orderCols: Seq[String],
+      valueOutCols: Seq[(String, String)], numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -39,27 +48,31 @@ object Pack {
       .repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .localCheckpoint()
-    val vIdx = ordered.schema.fieldIndex(valueCol)
+    val vIdxs = valueOutCols.map(vo => ordered.schema.fieldIndex(vo._1))
     // per-partition totals: `parts` rows — driver-side exclusive offsets
     val partSums = ordered
       .groupBy(spark_partition_id().as("_pid"))
-      .agg(sum(col(valueCol)).as("_s"))
+      .agg(valueOutCols.map(vo => sum(col(vo._1))).head,
+        valueOutCols.map(vo => sum(col(vo._1))).tail: _*)
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      .map(r => r.getInt(0) ->
+        valueOutCols.indices.map(i => r.getLong(i + 1)).toArray)
       .toMap
-    val offsets = new Array[Long](parts + 1)
-    var acc = 0L
+    val nv = valueOutCols.size
+    val offsets = Array.ofDim[Long](parts, nv)
+    val acc = new Array[Long](nv)
     (0 until parts).foreach { p =>
-      offsets(p) = acc
-      acc += partSums.getOrElse(p, 0L)
+      Array.copy(acc, 0, offsets(p), 0, nv)
+      partSums.get(p).foreach(s => (0 until nv).foreach(i => acc(i) += s(i)))
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = ordered.schema.add(outCol, LongType, nullable = false)
+    val outSchema = valueOutCols.foldLeft(ordered.schema)(
+      (sc, vo) => sc.add(vo._2, LongType, nullable = false))
     val rdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = bc.value(pid)
+      val run = bc.value(pid).clone()
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vIdx)
+        val out = Row.fromSeq(r.toSeq ++ run.toSeq)
+        (0 until nv).foreach(i => run(i) += r.getLong(vIdxs(i)))
         out
       }
     }

@@ -57,6 +57,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"posting self-join must be an equi-join on term:\n$plan")
   }
 
+  test("hybrid search ranks only bounded candidate heads") {
+    val plan = executedPlan(Hybrid.qHybridSearch(spark, sf))
+    val lines = plan.linesIterator.toSeq
+    // both modality heads come from a distributed top-k (per-partition
+    // heaps), bounded to CandidateDepth rows
+    val heads = lines.count(
+      _.contains(s"TakeOrderedAndProject(limit=${Hybrid.CandidateDepth}"))
+    assert(heads >= 2, s"expected 2 distributed top-k heads:\n$plan")
+    // every rank window must consume one of those bounded heads — its
+    // input (the next plan lines) reaches a limit before any other shuffle
+    lines.zipWithIndex.filter(_._1.contains("Window [")).foreach {
+      case (_, i) =>
+        val below = lines.drop(i + 1).take(3)
+        assert(below.exists(l => l.contains("TakeOrderedAndProject") ||
+            l.contains("GlobalLimit")),
+          s"rank window at line $i must sit on a limit-bounded input:\n$plan")
+    }
+  }
+
+  test("vocab coverage ranks without any window over the vocabulary") {
+    val plan = executedPlan(DataOpsQueries.qVocabCoverage(spark, sf))
+    assert(!plan.contains("Window ["), plan.take(2000))
+    // the only single-partition exchange allowed is the 1-row totals
+    // aggregate feeding the broadcast; the vocabulary itself moves through
+    // the range-partitioned prefix pass
+    // the AQE string prints Final and Initial plans — count the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val sp =
+      finalPlan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(sp <= 1, s"vocabulary must not collapse to one partition:\n$plan")
+  }
+
   test("hard negatives never shuffles the corpus scan") {
     val df = TrainPrep.qHardNegatives(spark, sf)
     df.collect()
