@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // machine-contention fingerprint: a degraded run (other tenants on the
+    // box) shows a high load average, distinguishing it from a regression
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -57,9 +64,12 @@ object Bench {
     // and the line becomes unparseable. Print a compact line (summary stats
     // + the slowest queries, greedily while it still fits) and dump the
     // complete per-query map to BENCH_FULL.json in the repo root.
+    val env =
+      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""cpus":$cpus"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},""" +
+      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},$env,""" +
       s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -68,7 +78,7 @@ object Bench {
     val slowestFirst = results.sortBy { case (_, v, e) => if (e.isDefined) Double.MaxValue else -v }
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},"queries":{"""
+      s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},$env,"queries":{"""
     val tailPart = s"""},"errors":$errs,"sf":"$sfDir"}"""
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tailPart.length

@@ -9,10 +9,13 @@ import graft.sources.Sources
   * term query — the retrieval primitive behind dedup-against-reference,
   * quality-weighted sampling, and eval-set mining over a training corpus.
   *
-  * Scale shape: one scan computes per-doc term frequencies for the (few)
-  * query terms as conditional aggregates — no posting-list explosion, no
-  * per-term joins; document frequencies and corpus stats are two tiny
-  * broadcast rows. Scoring is a pure projection.
+  * Scale shape: one scan; the native [[graft.plans.TermCounts]]
+  * expression traverses each document's tokens exactly once inside
+  * whole-stage codegen, yielding doc length and per-query-term
+  * frequencies together — no per-term joins, no posting-list explosion,
+  * no interpreted higher-order-function lambdas in the hot path.
+  * Document frequencies and corpus stats are one tiny broadcast row;
+  * scoring is a pure zero-shuffle projection.
   *
   * The idf factor is the RATIONAL variant `(N - df + 0.5) / (df + 0.5)`
   * WITHOUT the usual log wrap: ranking-equivalent per term (monotone in
@@ -28,12 +31,18 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, tokensCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = col(tokensCol)
-    // one scan: per-doc tf per term (conditional agg) + doc length
-    val tf = docs.select(
-      col(idCol) +: size(toks).cast("long").as("_nw") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, w => w === t)).cast("long").as(s"_tf$i")
-        }: _*)
+    // one pass per row: [n_tokens, tf0, …] from the native expression.
+    // (Per-term `size(filter(toks, ...))` would re-evaluate the token
+    // split once per interpreted lambda reference — the HOF trap.)
+    graft.plans.TermCounts.register(docs.sparkSession, terms)
+    val tf = docs
+      .select(col(idCol), graft.plans.TermCounts.termCounts(toks).as("_tc"))
+      .select(col(idCol) +: col("_tc").getField("n").as("_nw") +:
+        terms.indices.map(i =>
+          col("_tc").getField(s"t$i").as(s"_tf$i")): _*)
+      // one row per doc, consumed by the stats pass AND the scoring pass —
+      // materialize so the corpus is tokenized once, not once per consumer
+      .localCheckpoint(true)
     // corpus stats: N, avg doclen, df per term — one tiny row, broadcast
     val stats = tf.agg(
       count(lit(1)).as("_n"), sum(col("_nw")).as("_sumw") +:
@@ -57,8 +66,15 @@ object Relevance {
   /** Top-20 documents for a 3-term query by log-free BM25. */
   def qBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // coalesce makes the token array provably non-null: without it the
+    // score>0 filter's inferred isnotnull constraints are pushed below
+    // the projection and re-inline the whole tokenize+count chain once
+    // per tf column (4 extra tokenization passes per row)
+    // one compressed parquet file scans as ONE task — spread the raw text
+    // across the cores before the tokenize+count pass
     val docs = Sources.documents(s, dir)
-      .withColumn("toks", wordTokens($"text"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("toks", wordTokens(coalesce($"text", lit(""))))
     bm25(docs, "doc_id", "toks", QueryTerms)
       .filter($"score" > 0)
       .orderBy($"score".desc, $"doc_id")
