@@ -26,6 +26,20 @@ class SelectionGraphSpec extends AnyFunSuite {
       s"sample mean $sampMean not above population mean $popMean")
   }
 
+  test("triangle counters agree: adjacency-merge fast path vs shuffle joins") {
+    import spark.implicits._
+    // random oriented DAG edges on 60 nodes (u < v ⇒ acyclic, a valid
+    // degree-orientation image); both counters must agree exactly
+    val rnd = new scala.util.Random(7)
+    val edges = (for (u <- 0L until 60L; v <- u + 1 until 60L
+        if rnd.nextDouble() < 0.15) yield (u, v))
+    val dirE = edges.toDF("u", "v").repartition(4)
+    val fast = Graph.countTrianglesAdjacency(dirE)
+    val general = Graph.countTrianglesShuffle(dirE)
+    assert(fast == general, s"adjacency=$fast shuffle=$general")
+    assert(fast > 0)
+  }
+
   test("skyline: no point dominates another; dominated points excluded") {
     import spark.implicits._
     val sky = Sampling2.qSkyline(spark, sf).collect()
