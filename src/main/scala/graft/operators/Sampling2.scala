@@ -96,7 +96,7 @@ object Sampling2 {
       .select($"o_orderpriority", cents($"o_totalprice").as("price_c"),
         $"o_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(graft.plans.TopKAgg.topk($"price_c", $"o_orderkey").as("top"))
+      .agg(graft.plans.TopKAgg.topk(5, $"price_c", $"o_orderkey").as("top"))
       .select($"o_orderpriority", posexplode($"top"))
       .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
         $"col.score".as("price_c"), $"col.id".as("o_orderkey"))

@@ -33,6 +33,7 @@ object SparseSim {
     */
   def qTfidfCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.plans.CosineGate.register(s, tNum = 4, tDen = 5)
     // tf feeds df, the doc count AND the weight join; w feeds norms and
     // both dot sides — materialize each once or the optimizer re-embeds
     // the whole upstream chain per consumer (7 copies of the tf aggregate
@@ -59,8 +60,11 @@ object SparseSim {
     dots
       .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na")), "doc_a")
       .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb")), "doc_b")
+      // arbitrary-precision gate: the DECIMAL(38,0) product form
+      // (dot*dot*25 >= na*nb*16) silently NULLs — and drops the pair —
+      // once dot² leaves 38-digit precision on big corpora
       .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 25 >= $"na" * $"nb" * 16)
+        graft.plans.CosineGate.gate(4, 5, $"dot", $"na", $"nb"))
       .select($"doc_a", $"doc_b", $"dot".cast("long").as("dot"))
       .orderBy($"doc_a", $"doc_b")
   }

@@ -116,13 +116,16 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
 }
 
 object TopKAgg {
-  /** Register `topk(scoreBigint, idBigint)` with fixed k. */
-  def register(spark: SparkSession, k: Int = 10): Unit =
+  /** Register `topk_{k}(scoreBigint, idBigint)` — the name carries k so
+    * registrations for different k never clobber each other or the
+    * session-wide extension-injected `topk` (k=10, GraftExtensions).
+    */
+  def register(spark: SparkSession, k: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk",
+      s"topk_$k",
       exprs => TopKAgg(exprs.head, exprs(1), k).toAggregateExpression(),
       "built-in")
 
-  def topk(score: Column, id: Column): Column =
-    org.apache.spark.sql.functions.call_function("topk", score, id)
+  def topk(k: Int, score: Column, id: Column): Column =
+    org.apache.spark.sql.functions.call_function(s"topk_$k", score, id)
 }

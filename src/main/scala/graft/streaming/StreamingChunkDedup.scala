@@ -13,8 +13,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape: per batch the work is O(batch) chunking + one equi-join
   * against the store keyed on the 60-bit chunk hash; the store is
-  * append-only parquet partitioned by a hash bucket (compactable like
+  * parquet partitioned by a hash bucket (compactable like
   * [[StreamingDedup.compactStore]]). No old document is ever re-chunked.
+  *
+  * Replay safety: foreachBatch is at-least-once, so every write is keyed
+  * on the batch id and uses DYNAMIC partition overwrite — a replayed
+  * batch rewrites exactly its own `batch_id=` partitions instead of
+  * double-appending report rows / store chunks (same discipline as
+  * [[UpsertSink]]). Store reads exclude the replaying batch's own
+  * partition so the report is also replay-deterministic.
   */
 object StreamingChunkDedup {
 
@@ -25,13 +32,20 @@ object StreamingChunkDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, storeDir, flagDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, storeDir, flagDir)
       }
       .start()
 
+  private def exists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** One micro-batch step (factored out for direct testing). */
-  def processBatch(batch: DataFrame, storeDir: String, flagDir: String): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      flagDir: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     graft.plans.ChunkHashes.register(spark, k = 8, modulus = 64)
@@ -40,8 +54,11 @@ object StreamingChunkDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val store =
-        if (new java.io.File(storeDir).exists)
-          Some(spark.read.parquet(storeDir).select(col("h")).distinct())
+        if (exists(spark, storeDir))
+          // a replayed batch must not see its own (failed) prior write
+          Some(spark.read.parquet(storeDir)
+            .filter(col("batch_id") =!= batchId)
+            .select(col("h")).distinct())
         else None
       val storeHits = store.map(st => ch.join(st, "h"))
       // within-batch: a chunk counts as duplicated for every doc after
@@ -57,10 +74,16 @@ object StreamingChunkDedup {
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"))
-      report.write.mode(SaveMode.Append).parquet(flagDir)
+      report.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(flagDir)
       ch.select(col("h"), pmod(col("h"), lit(Buckets)).as("hb")).distinct()
+        .withColumn("batch_id", lit(batchId))
         .repartition(col("hb"))
-        .write.partitionBy("hb").mode(SaveMode.Append).parquet(storeDir)
+        .write.partitionBy("hb", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(storeDir)
     } finally ch.unpersist()
   }
 }

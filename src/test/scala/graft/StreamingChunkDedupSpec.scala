@@ -51,11 +51,38 @@ class StreamingChunkDedupSpec extends AnyFunSuite {
     val text = "some shared paragraph that appears in two documents of " +
       "the very same micro batch with identical content " * 3
     StreamingChunkDedup.processBatch(
-      Seq((10L, text), (11L, text)).toDF("doc_id", "text"),
+      Seq((10L, text), (11L, text)).toDF("doc_id", "text"), 0L,
       s"$dir/store", s"$dir/flags")
     val rep = spark.read.parquet(s"$dir/flags").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rep(10L)._2 == 0L) // first owner
     assert(rep(11L)._2 == rep(11L)._1) // fully duplicated within batch
+  }
+
+  test("at-least-once replay of a batch is idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chunkdedup3").toString
+    val (store, flags) = (s"$dir/store", s"$dir/flags")
+    val textA = "first document text that chunks into several content " +
+      "defined pieces for the replay idempotency check " * 3
+    val textB = "second document body with its own distinct stream of " +
+      "words so its chunks never collide with the first " * 3
+    StreamingChunkDedup.processBatch(
+      Seq((1L, textA)).toDF("doc_id", "text"), 0L, store, flags)
+    // batch 1 runs, "fails" after its writes, and is replayed verbatim
+    StreamingChunkDedup.processBatch(
+      Seq((2L, textB)).toDF("doc_id", "text"), 1L, store, flags)
+    val flagsOnce = spark.read.parquet(flags).collect().toSet
+    val storeOnce = spark.read.parquet(store).collect().toSet
+    StreamingChunkDedup.processBatch(
+      Seq((2L, textB)).toDF("doc_id", "text"), 1L, store, flags)
+    assert(spark.read.parquet(flags).collect().toSet == flagsOnce,
+      "replayed batch must overwrite, not double-append, its report rows")
+    assert(spark.read.parquet(store).collect().toSet == storeOnce,
+      "replayed batch must overwrite, not double-append, its store chunks")
+    // doc 2 must not count as duplicated against its own failed write
+    val rep = spark.read.parquet(flags).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(2L)._2 == 0L, s"replay must not self-flag: ${rep(2L)}")
   }
 }

@@ -18,7 +18,7 @@ class TopKAggSpec extends AnyFunSuite {
       (s"g${i % 7}", rng.nextInt(1000).toLong, i.toLong))
     def run(parts: Int) = rows.toDF("g", "score", "id")
       .repartition(parts)
-      .groupBy($"g").agg(TopKAgg.topk($"score", $"id").as("top"))
+      .groupBy($"g").agg(TopKAgg.topk(3, $"score", $"id").as("top"))
       .select($"g", posexplode($"top"))
       .select($"g", $"pos", $"col.score", $"col.id")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
@@ -40,7 +40,7 @@ class TopKAggSpec extends AnyFunSuite {
     graft.plans.TopKAgg.register(spark, k = 2)
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
     val agg = in.toDS().toDF("g", "score", "id")
-      .groupBy($"g").agg(graft.plans.TopKAgg.topk($"score", $"id").as("top"))
+      .groupBy($"g").agg(graft.plans.TopKAgg.topk(2, $"score", $"id").as("top"))
     val q = graft.streaming.StreamOps.toMemorySink(agg, "topk_stream", "complete")
     try {
       in.addData(("g1", 10L, 1L), ("g1", 30L, 2L), ("g2", 5L, 3L))
@@ -62,7 +62,7 @@ class TopKAggSpec extends AnyFunSuite {
     TopKAgg.register(spark, k = 3)
     val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i.toLong))
       .toDF("g", "score", "id")
-      .groupBy($"g").agg(TopKAgg.topk($"score", $"id").as("top"))
+      .groupBy($"g").agg(TopKAgg.topk(3, $"score", $"id").as("top"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
