@@ -1,0 +1,303 @@
+"""Parity tests for the graft Python API: the machida-style pipelines must
+reproduce the Scala engine's results for the reference example apps
+(word_count, celsius) plus self-contained checks for merge, count/range
+windows and the live TCP source/sink.
+
+Run:  python3 python/tests/test_parity.py
+Env:  GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.001)
+      GRAFT_SCALA_OUT  dir with Verify output (q_word_count/, q_celsius/);
+                       generated via sbt if absent.
+"""
+
+import os
+import socket
+import struct
+import subprocess
+import sys
+import threading
+
+_PYDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _PYDIR)
+# python workers unpickle graft.* objects — they need the package too
+os.environ["PYTHONPATH"] = (_PYDIR + os.pathsep +
+                            os.environ.get("PYTHONPATH", ""))
+
+import graft
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def scala_out():
+    out = os.environ.get("GRAFT_SCALA_OUT", "/tmp/graft_py_parity_scala")
+    if not os.path.isdir(os.path.join(out, "q_word_count")):
+        subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.Verify %s %s q_word_count,q_celsius"
+             % (SF_DIR, out)],
+            cwd=REPO, check=True, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# word_count — reference examples/pony+python/word_count
+# ---------------------------------------------------------------------------
+
+@graft.computation_multi(name="split into words")
+def split(text):
+    import re
+    return [w for w in re.split("[^a-z]+", text.lower()) if w]
+
+
+@graft.key_extractor
+def extract_word(word):
+    return word
+
+
+class CountAgg(graft.Aggregation):
+    def initial_accumulator(self):
+        return [0]
+
+    def update(self, _word, acc):
+        acc[0] += 1
+
+    def combine(self, a, b):
+        return [a[0] + b[0]]
+
+    def output(self, key, acc):
+        return (key, acc[0])
+
+
+def test_word_count(spark, scala_dir):
+    pipeline = (graft.source(
+            "Split and Count",
+            graft.ParquetSourceConfig(
+                "docs", os.path.join(SF_DIR, "documents.parquet"),
+                decoder=lambda r: r.text))
+        .to(split)
+        .key_by(extract_word)
+        .to(CountAgg())
+        .to_sink(graft.MemorySinkConfig()))
+    app = graft.build_application("Word Count Application", pipeline)
+    got = sorted(app.run(spark)[0])
+    want = sorted((r.word, r.n) for r in
+                  spark.read.parquet(os.path.join(scala_dir, "q_word_count"))
+                  .collect())
+    assert got == want, "word_count mismatch:\n py=%r\n sc=%r" % (
+        got[:5], want[:5])
+    print("ok word_count parity (%d words)" % len(got))
+
+
+# ---------------------------------------------------------------------------
+# celsius — reference examples/python/celsius*
+# ---------------------------------------------------------------------------
+
+@graft.computation(name="convert to fahrenheit")
+def c2f(event):
+    return (event.event_id, event.value * 1.8 + 32.0)
+
+
+def test_celsius(spark, scala_dir):
+    pipeline = (graft.source(
+            "Celsius Conversion",
+            graft.ParquetSourceConfig(
+                "events", os.path.join(SF_DIR, "events.parquet")))
+        .to(c2f)
+        .to_sink(graft.MemorySinkConfig()))
+    app = graft.build_application("Celsius to Fahrenheit", pipeline)
+    got = sorted(app.run(spark)[0])
+    want = sorted((r.event_id, r.fahrenheit) for r in
+                  spark.read.parquet(os.path.join(scala_dir, "q_celsius"))
+                  .collect())
+    assert got == want, "celsius mismatch (bit-exact float expected)"
+    print("ok celsius parity (%d rows, bit-exact)" % len(got))
+
+
+# ---------------------------------------------------------------------------
+# merge + collect — self-contained
+# ---------------------------------------------------------------------------
+
+def test_merge_collect(spark):
+    a = graft.source("a", graft.DataFrameSourceConfig(
+        "a", spark.range(5), decoder=lambda r: r.id))
+    b = graft.source("b", graft.DataFrameSourceConfig(
+        "b", spark.range(100, 103), decoder=lambda r: r.id))
+    pipeline = (a.merge(b)
+        .collect()
+        .to(CountAgg())
+        .to_sink(graft.MemorySinkConfig()))
+    got = graft.build_application("merge", pipeline).run(spark)[0]
+    assert got == [(0, 8)], got
+    print("ok merge + collect")
+
+
+# ---------------------------------------------------------------------------
+# windows — alerts_windowed shape over a GenSource
+# ---------------------------------------------------------------------------
+
+class Tx(object):
+    def __init__(self, user, amount, ts):
+        self.user = user
+        self.amount = amount
+        self.ts = ts
+
+
+class TxGen(object):
+    """Deterministic generator: user cycles a/b, amount = i, ts = i sec."""
+
+    def initial_value(self):
+        return Tx("a", 0, 0)
+
+    def apply(self, last):
+        i = last.amount + 1
+        return Tx("ab"[i % 2], i, graft.seconds(i))
+
+
+@graft.key_extractor
+def tx_user(tx):
+    return tx.user
+
+
+class SumAgg(graft.Aggregation):
+    def initial_accumulator(self):
+        return [0]
+
+    def update(self, tx, acc):
+        acc[0] += tx.amount
+
+    def combine(self, a, b):
+        return [a[0] + b[0]]
+
+    def output(self, key, acc):
+        return (key, acc[0])
+
+
+def test_range_windows(spark):
+    pipeline = (graft.source(
+            "txs", graft.GenSourceConfig("gen", TxGen(), count=10,
+                                         event_time=lambda tx: tx.ts))
+        .key_by(tx_user)
+        .to(graft.range_windows(graft.seconds(4)).over(SumAgg))
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("w", pipeline).run(spark)[0])
+    # amounts 0..9, ts=i s, tumbling 4 s: [0,4) holds 0..3, [4,8) 4..7, [8,12) 8,9
+    # user a = even amounts, b = odd
+    want = sorted([("a", 0 + 2), ("b", 1 + 3), ("a", 4 + 6), ("b", 5 + 7),
+                   ("a", 8), ("b", 9)])
+    assert got == want, got
+    print("ok range windows (tumbling)")
+
+
+def test_count_windows(spark):
+    pipeline = (graft.source(
+            "txs", graft.GenSourceConfig("gen", TxGen(), count=10))
+        .key_by(tx_user)
+        .to(graft.count_windows(2).over(SumAgg))
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("c", pipeline).run(spark)[0])
+    # per key 5 messages -> windows of 2 then a remainder of 1
+    assert len(got) == 6 and sum(n for _, n in got) == sum(range(10)), got
+    print("ok count windows")
+
+
+# ---------------------------------------------------------------------------
+# live TCP source + sink — length-framed roundtrip
+# ---------------------------------------------------------------------------
+
+@graft.decoder(header_length=4, length_fmt=">I")
+def decode_word(bs):
+    return bs.decode("utf-8")
+
+
+@graft.encoder
+def encode_word(word):
+    payload = word.upper().encode("utf-8")
+    return struct.pack(">I", len(payload)) + payload
+
+
+def _serve_words(server, words):
+    conn, _ = server.accept()
+    for w in words:
+        payload = w.encode("utf-8")
+        conn.sendall(struct.pack(">I", len(payload)) + payload)
+    conn.close()
+
+
+def test_tcp_roundtrip(spark):
+    words = ["alpha", "beta", "gamma"]
+    src_server = socket.socket()
+    src_server.bind(("127.0.0.1", 0))
+    src_server.listen(1)
+    src_port = src_server.getsockname()[1]
+    threading.Thread(target=_serve_words, args=(src_server, words),
+                     daemon=True).start()
+
+    received = []
+    sink_server = socket.socket()
+    sink_server.bind(("127.0.0.1", 0))
+    sink_server.listen(8)
+    sink_port = sink_server.getsockname()[1]
+
+    def drain():
+        while True:
+            try:
+                conn, _ = sink_server.accept()
+            except OSError:
+                return
+            buf = b""
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            while buf:
+                n = struct.unpack(">I", buf[:4])[0]
+                received.append(buf[4:4 + n].decode("utf-8"))
+                buf = buf[4 + n:]
+            conn.close()
+
+    drain_thread = threading.Thread(target=drain, daemon=True)
+    drain_thread.start()
+
+    pipeline = (graft.source(
+            "tcp words",
+            graft.TCPSourceConfig("in", "127.0.0.1", src_port, decode_word))
+        .to_sink(graft.TCPSinkConfig("127.0.0.1", sink_port, encode_word)))
+    graft.build_application("tcp roundtrip", pipeline).run(spark)
+
+    import time
+    deadline = time.time() + 10
+    while len(received) < len(words) and time.time() < deadline:
+        time.sleep(0.05)
+    sink_server.close()
+    assert sorted(received) == sorted(w.upper() for w in words), received
+    print("ok live TCP source -> sink roundtrip")
+
+
+def main():
+    scala_dir = scala_out()
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("graft-py-parity")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             # testdata events.ts is parquet TIMESTAMP(NANOS); read as
+             # long nanos exactly like the Scala GraftSession does
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        test_word_count(spark, scala_dir)
+        test_celsius(spark, scala_dir)
+        test_merge_collect(spark)
+        test_range_windows(spark)
+        test_count_windows(spark)
+        test_tcp_roundtrip(spark)
+        print("ALL PYTHON PARITY TESTS PASSED")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
