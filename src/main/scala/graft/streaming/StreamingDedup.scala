@@ -17,6 +17,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * column at 100 TB — only matching buckets are read); the store itself is
   * append-only parquet, compactable offline. No signature is ever
   * recomputed for old documents.
+  *
+  * Replay safety: foreachBatch is at-least-once, so each batch writes its
+  * flags and signatures under its own `batch_id=` partition directory with
+  * whole-subdir overwrite — a replayed batch rewrites exactly its prior
+  * output instead of double-appending, and the store probe excludes the
+  * replaying batch's own partition so flags are replay-deterministic.
   */
 object StreamingDedup {
 
@@ -44,21 +50,31 @@ object StreamingDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, storeDir, flagDir, numHashes, bandCount, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, storeDir, flagDir, numHashes, bandCount,
+          threshold)
       }
       .start()
 
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** One micro-batch step (factored out for direct testing). */
-  def processBatch(batch: DataFrame, storeDir: String, flagDir: String,
-      numHashes: Int, bandCount: Int, threshold: Double): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      flagDir: String, numHashes: Int, bandCount: Int,
+      threshold: Double): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val sigs = signatures(batch, numHashes, bandCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val store =
-        if (new java.io.File(storeDir).exists) Some(spark.read.parquet(storeDir))
+        if (exists(spark, storeDir))
+          // a replayed batch must not probe its own (failed) prior write
+          Some(spark.read.parquet(storeDir)
+            .filter(col("batch_id") =!= batchId).drop("batch_id"))
         else None
       // candidates: new-vs-store (store doc wins as dup_of) + new-vs-new
       val vsStore = store.map { st =>
@@ -83,20 +99,26 @@ object StreamingDedup {
         .agg(max(struct(col("jaccard"), (-col("dup_of")).as("nd"))).as("_best"))
         .select(col("doc_id"), (-col("_best.nd")).as("dup_of"),
           col("_best.jaccard").as("jaccard"))
-      flagged.write.mode(SaveMode.Append).parquet(flagDir)
-      // band-partitioned from the first append so the layout matches what
-      // compactStore rewrites (mixed flat/partitioned dirs don't discover);
-      // repartition(band) gives one file per band per batch, not one per task
+      // whole-subdir overwrite per batch id: replay rewrites, never appends
+      // (and an empty flag batch still lands a schema'd file, so the flag
+      // dir is always readable)
+      flagged.write.mode(SaveMode.Overwrite)
+        .parquet(s"$flagDir/batch_id=$batchId")
+      // band-partitioned under the batch dir so the layout matches what
+      // compactStore rewrites (batch_id=-1) and band probes prune at the
+      // source; repartition(band) gives one file per band, not one per task
       sigs.select(col("doc_id"), col("band"), col("bk"), col("sh"))
         .repartition(col("band"))
-        .write.partitionBy("band").mode(SaveMode.Append).parquet(storeDir)
+        .write.partitionBy("band").mode(SaveMode.Overwrite)
+        .parquet(s"$storeDir/batch_id=$batchId")
     } finally sigs.unpersist()
   }
 
-  /** Compact the append-only signature store: drop duplicate rows (a batch
-    * replayed after a failure appends its signatures twice under
-    * foreachBatch's at-least-once contract) and rewrite the accumulated
-    * small files as parquet partitioned by `band`.
+  /** Compact the signature store: drop duplicate rows (the same document
+    * re-ingested across DIFFERENT batches — same-batch replay is already
+    * idempotent via the per-batch overwrite) and rewrite the accumulated
+    * per-batch small files into one `batch_id=-1` tree partitioned by
+    * `band`.
     *
     * After compaction a targeted probe (filter on band values) prunes to
     * the matching partition directories at the source — the store scales
@@ -113,7 +135,8 @@ object StreamingDedup {
       .select(col("doc_id"), col("band"), col("bk"), col("sh"))
       .distinct()
       .repartition(col("band"))
-      .write.partitionBy("band").mode(SaveMode.Overwrite).parquet(tmp)
+      .write.partitionBy("band").mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/batch_id=-1")
     Files.move(Paths.get(storeDir), Paths.get(old),
       StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(storeDir),

@@ -45,19 +45,25 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("store compaction preserves probe results, dedups replays, prunes by band") {
+  test("replay is idempotent; compaction preserves probes and prunes by band") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact").toString
     val store = base + "/store"
     val flagsA = base + "/flagsA"
     val flagsB = base + "/flagsB"
     def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
-    // seed two batches, then simulate a replayed append (at-least-once)
-    StreamingDedup.processBatch(batch((1L, a), (2L, b)), store, flagsA, 64, 16, 0.5)
-    StreamingDedup.processBatch(batch((10L, c)), store, flagsA, 64, 16, 0.5)
-    StreamingDedup.processBatch(batch((10L, c)), store, flagsA, 64, 16, 0.5)
-    val preRows = spark.read.parquet(store)
-    assert(preRows.count() > preRows.distinct().count()) // replay duplicated rows
+    // seed two batches, then replay batch 1 verbatim (at-least-once):
+    // per-batch overwrite must leave the store and flags unchanged
+    StreamingDedup.processBatch(batch((1L, a), (2L, b)), 0L, store, flagsA, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), 1L, store, flagsA, 64, 16, 0.5)
+    val storeOnce = spark.read.parquet(store).collect().toSet
+    val flagsOnce = spark.read.parquet(flagsA).collect().toSet
+    StreamingDedup.processBatch(batch((10L, c)), 1L, store, flagsA, 64, 16, 0.5)
+    assert(spark.read.parquet(store).collect().toSet == storeOnce,
+      "replayed batch must rewrite its partition, not double-append")
+    assert(spark.read.parquet(flagsA).collect().toSet == flagsOnce)
+    // and the replay must not flag doc 10 against its own failed write
+    assert(!spark.read.parquet(flagsA).collect().exists(_.getLong(0) == 10L))
     def parquetFiles(dir: String): Int = {
       def walk(f: java.io.File): Int =
         if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
@@ -67,31 +73,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     val filesBefore = parquetFiles(store)
 
     // probe WITHOUT compaction → expected flags
-    StreamingDedup.processBatch(batch((3L, aDup)), store, flagsA, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((3L, aDup)), 2L, store, flagsA, 64, 16, 0.5)
     val expected = spark.read.parquet(flagsA)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // rebuild the same store, compact, probe → same flags
+    // rebuild the same store (with a cross-batch re-ingest of doc 10 that
+    // only compaction can dedup), compact, probe → same flags
     val store2 = base + "/store2"
-    StreamingDedup.processBatch(batch((1L, a), (2L, b)), store2, flagsB, 64, 16, 0.5)
-    StreamingDedup.processBatch(batch((10L, c)), store2, flagsB, 64, 16, 0.5)
-    StreamingDedup.processBatch(batch((10L, c)), store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((1L, a), (2L, b)), 0L, store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), 1L, store2, flagsB, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((10L, c)), 5L, store2, flagsB, 64, 16, 0.5)
     StreamingDedup.compactStore(spark, store2)
-    val post = spark.read.parquet(store2)
-    assert(post.count() == post.distinct().count()) // replays deduped
-    assert(post.select("doc_id").distinct().count() == 3)
-    StreamingDedup.processBatch(batch((3L, aDup)), store2, flagsB, 64, 16, 0.5)
-    val got = spark.read.parquet(flagsB)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == expected, s"got=$got expected=$expected")
-    assert(got.contains((3L, 1L)))
-
-    // compacted layout: band=N partition dirs, fewer files than the raw
-    // appends, and a band-value probe shows source-level partition pruning
-    val dirs = new java.io.File(store2).listFiles.filter(_.isDirectory)
-    assert(dirs.exists(_.getName.startsWith("band=")))
+    // compacted layout: fewer files than the three per-batch trees
+    // (counted BEFORE the probe batch adds its own tree back)
     val filesAfter = parquetFiles(store2)
     assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    val post = spark.read.parquet(store2)
+      .select($"doc_id", $"band", $"bk", $"sh")
+    assert(post.count() == post.distinct().count()) // cross-batch dups gone
+    assert(post.select("doc_id").distinct().count() == 3)
+    StreamingDedup.processBatch(batch((3L, aDup)), 2L, store2, flagsB, 64, 16, 0.5)
+    val got = spark.read.parquet(flagsB)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 == 3L).toSet
+    assert(got == expected.filter(_._1 == 3L), s"got=$got expected=$expected")
+    assert(got.contains((3L, 1L)))
+
+    // compacted layout: batch_id=-1/band=N partition dirs, and a band
+    // probe prunes at the source
+    val dirs = new java.io.File(store2 + "/batch_id=-1").listFiles
+      .filter(_.isDirectory)
+    assert(dirs.exists(_.getName.startsWith("band=")))
     val probePlan = spark.read.parquet(store2).filter($"band" === 3)
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters") &&
