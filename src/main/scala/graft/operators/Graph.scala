@@ -20,8 +20,22 @@ object Graph {
 
   private val Scale = 1000000000000L // 1e12
 
+  /** Edge-count gate for the in-memory fast paths of the iterative
+    * algorithms (~24 B per (src, dst, deg) edge row, well inside the
+    * 64 MB broadcast budget). Past the gate every algorithm falls back
+    * to its join-per-round shuffle formulation — the 1000-executor path.
+    */
+  private[graft] val EdgeGate = 3000000L
+
   /** `iters` rounds of damped PageRank (d = 85/100) over an integer edge
     * list. Returns (node, rank) for every node.
+    *
+    * Size-gated like [[qTriangles]]: iteration is latency-bound (a shuffle
+    * pair per round), so when the degree-fused edge list fits in memory
+    * the whole power iteration runs as local Long arithmetic — the SAME
+    * truncating-division updates, which are order-independent, so both
+    * paths produce identical ranks (parity spec). Past [[EdgeGate]] the
+    * join-per-round formulation applies.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
@@ -29,40 +43,78 @@ object Graph {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-    // fuse out-degree into the edge list ONCE (every src has deg ≥ 1, so
-    // the inner join keeps all edges) — each iteration then needs a
-    // single src-join instead of two
-    val ewd = e
-      .join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = ewd.select($"src".as("node"))
-      .union(ewd.select($"dst".as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count()
-      val init = Scale / n
-      val base = 15L * init / 100L
-      var ranks = nodes.select($"node", lit(init).as("rank"))
-      for (_ <- 0 until iters) {
-        // `div`, not `/`: Column `/` is double division, and at 1e12 rank
-        // magnitude the double's ~1e-4 absolute error can cross an
-        // integer boundary for denominators ≳4000 — true integer
-        // division matches DuckDB `//` exactly at any scale
-        val contrib = ranks
-          .join(ewd, ranks("node") === ewd("src"))
-          .groupBy($"dst")
-          .agg(sum(expr("rank div deg")).as("in_mass"))
-        ranks = nodes
-          .join(contrib, nodes("node") === contrib("dst"), "left")
-          .select($"node",
-            (lit(base) + expr(s"85 * coalesce(in_mass, 0L) div 100"))
-              .cast("long").as("rank"))
-          // truncate lineage each round: without this, iteration r's plan
-          // re-embeds (and recomputes) iterations 1..r-1 — quadratic work
-          .localCheckpoint(true)
+      if (e.count() <= EdgeGate) return pageRankLocal(e, iters)
+      // fuse out-degree into the edge list ONCE (every src has deg ≥ 1, so
+      // the inner join keeps all edges) — each iteration then needs a
+      // single src-join instead of two
+      val ewd = e
+        .join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = ewd.select($"src".as("node"))
+        .union(ewd.select($"dst".as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try pageRankShuffle(ewd, nodes, iters)
+      finally { ewd.unpersist(); nodes.unpersist() }
+    } finally e.unpersist()
+  }
+
+  /** Join-per-round distributed path (any graph size). */
+  private[graft] def pageRankShuffle(ewd: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = ewd.sparkSession
+    import spark.implicits._
+    val n = nodes.count()
+    val init = Scale / n
+    val base = 15L * init / 100L
+    var ranks = nodes.select($"node", lit(init).as("rank"))
+    for (_ <- 0 until iters) {
+      // `div`, not `/`: Column `/` is double division, and at 1e12 rank
+      // magnitude the double's ~1e-4 absolute error can cross an
+      // integer boundary for denominators ≳4000 — true integer
+      // division matches DuckDB `//` exactly at any scale
+      val contrib = ranks
+        .join(ewd, ranks("node") === ewd("src"))
+        .groupBy($"dst")
+        .agg(sum(expr("rank div deg")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select($"node",
+          (lit(base) + expr(s"85 * coalesce(in_mass, 0L) div 100"))
+            .cast("long").as("rank"))
+        // truncate lineage each round: without this, iteration r's plan
+        // re-embeds (and recomputes) iterations 1..r-1 — quadratic work
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Gated in-memory path over the DISTINCT directed edge list: degrees,
+    * node set and the identical truncating-Long updates all derive
+    * locally — zero shuffles beyond the one distinct.
+    */
+  private[graft] def pageRankLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select($"src", $"dst").as[(Long, Long)].collect()
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+    val ids = (es.iterator.map(_._1) ++ es.iterator.map(_._2))
+      .toArray.distinct
+    val init = Scale / ids.length
+    val base = 15L * init / 100L
+    var rank = scala.collection.mutable.HashMap.from(ids.map(_ -> init))
+    for (_ <- 0 until iters) {
+      val inMass = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (s, d) =>
+        inMass.update(d, inMass.getOrElse(d, 0L) + rank(s) / deg(s))
       }
-      ranks
-    } finally { ewd.unpersist(); nodes.unpersist() }
+      rank = scala.collection.mutable.HashMap.from(
+        ids.map(nd => nd -> (base + 85L * inMass.getOrElse(nd, 0L) / 100L)))
+    }
+    spark.createDataFrame(ids.map(nd => (nd, rank(nd))).toSeq)
+      .toDF("node", "rank")
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -79,31 +131,81 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val dir0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // symmetrize: propagation is over the undirected graph
-    val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select($"src".as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = nodes.select($"node", $"node".as("label"))
-      for (_ <- 0 until iters) {
-        // argmax via max_by on struct(cnt, -label): highest count, ties to
-        // the LOWEST label — one aggregate instead of a window, saving an
-        // exchange per round (the window would re-partition by dst after
-        // the (dst,label) count shuffle)
-        val best = labels
-          .join(e, labels("node") === e("src"))
-          .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
-          .groupBy($"dst")
-          .agg(max_by($"label", struct($"cnt", -$"label")).as("new_label"))
-        labels = nodes
-          .join(best, nodes("node") === best("dst"), "left")
-          .select($"node", coalesce($"new_label", $"node").as("label"))
-          .localCheckpoint(true)
+      // size gate (see pageRank): the local path symmetrizes in memory,
+      // so only the distinct DIRECTED list is ever collected
+      if (dir0.count() <= EdgeGate) return labelPropLocal(dir0, iters)
+      // symmetrize: propagation is over the undirected graph
+      val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = e.select($"src".as("node")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try labelPropShuffle(e, nodes, iters)
+      finally { e.unpersist(); nodes.unpersist() }
+    } finally dir0.unpersist()
+  }
+
+  /** Join-per-round distributed path (any graph size). */
+  private[graft] def labelPropShuffle(e: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var labels = nodes.select($"node", $"node".as("label"))
+    for (_ <- 0 until iters) {
+      // argmax via max_by on struct(cnt, -label): highest count, ties to
+      // the LOWEST label — one aggregate instead of a window, saving an
+      // exchange per round (the window would re-partition by dst after
+      // the (dst,label) count shuffle)
+      val best = labels
+        .join(e, labels("node") === e("src"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"dst")
+        .agg(max_by($"label", struct($"cnt", -$"label")).as("new_label"))
+      labels = nodes
+        .join(best, nodes("node") === best("dst"), "left")
+        .select($"node", coalesce($"new_label", $"node").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Gated in-memory path over the DISTINCT directed edge list
+    * (symmetrized locally into neighbor SETS — the dedup the shuffle
+    * path's union+distinct performs): the same synchronous
+    * most-frequent-neighbor update (ties → lowest label), zero per-round
+    * shuffles. Deterministic, so both paths produce identical labels
+    * (parity spec).
+    */
+  private[graft] def labelPropLocal(dir0: DataFrame, iters: Int): DataFrame = {
+    val spark = dir0.sparkSession
+    import spark.implicits._
+    val es = dir0.select($"src", $"dst").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+    es.foreach { case (s, d) => add(s, d); add(d, s) }
+    val ids = adj.keys.toArray
+    var labels = scala.collection.mutable.HashMap.from(ids.map(n => n -> n))
+    for (_ <- 0 until iters) {
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      ids.foreach { nd =>
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        adj(nd).foreach { nb =>
+          val l = labels(nb)
+          counts.update(l, counts.getOrElse(l, 0L) + 1L)
+        }
+        next(nd) =
+          if (counts.isEmpty) nd
+          else counts.minBy { case (l, c) => (-c, l) }._1
       }
-      labels
-    } finally { e.unpersist(); nodes.unpersist() }
+      labels = next
+    }
+    spark.createDataFrame(ids.map(nd => (nd, labels(nd))).toSeq)
+      .toDF("node", "label")
   }
 
   // ---------------------------------------------------------------- queries
@@ -205,7 +307,7 @@ object Graph {
       val nNodes = deg.count()
       val nEdges = und.count()
       // ~16 B per oriented edge; stay well inside the 64 MB broadcast cap
-      val broadcastable = nEdges <= 3_000_000L
+      val broadcastable = nEdges <= EdgeGate
       val nTriangles: Long =
         if (broadcastable) countTrianglesAdjacency(dirE)
         else countTrianglesShuffle(dirE)
@@ -259,43 +361,99 @@ object Graph {
 
   /** Multi-source BFS levels over the undirected co-purchase graph:
     * distance-from-hub for every node within `maxDepth` hops, starting at
-    * ALL maximum-degree nodes (deterministic seed set). Per round: one
-    * frontier ⋈ edges shuffle + one anti-join against the visited set —
-    * the textbook Pregel BFS; lineage truncated per round like
-    * [[pageRank]]. Reported as per-level counts + node-id range (the
-    * "how far is everything from the hubs" reachability profile).
+    * ALL maximum-degree nodes (deterministic seed set). Distributed path:
+    * per round one frontier ⋈ edges shuffle + one anti-join against the
+    * visited set — the textbook Pregel BFS; lineage truncated per round
+    * like [[pageRank]]. Size-gated in-memory twin when the graph fits
+    * (see [[EdgeGate]]). Reported as per-level counts + node-id range
+    * (the "how far is everything from the hubs" reachability profile).
     */
   def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val maxDepth = 3
-    val dir0 = copurchaseEdges(s, dir)
-    val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
+    val und = copurchaseEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-      val sources = deg
-        .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
-        .filter($"deg" === $"max_deg")
-        .select($"node")
-      // checkpoint each round's NOVEL frontier once; `levels` stays a
-      // lazy union of already-materialized frontiers (re-checkpointing
-      // the whole growing set every round rewrites everything r times)
-      var frontier = sources.select($"node", lit(0L).as("dist"))
-        .localCheckpoint(true)
-      var levels = frontier
-      for (d <- 1 to maxDepth) {
-        val nbrs = frontier.join(e, frontier("node") === e("src"))
-          .select($"dst".as("node")).distinct()
-        frontier = nbrs.join(levels, Seq("node"), "left_anti")
-          .select($"node", lit(d.toLong).as("dist"))
-          .localCheckpoint(true)
-        levels = levels.union(frontier)
-      }
+      // size gate (see pageRank): traversal is latency-bound — three
+      // shuffle rounds on a memory-sized graph cost seconds the local
+      // walk doesn't. The local path collects only the UNDIRECTED list
+      // and derives degrees + max-degree sources in memory.
+      val levels =
+        if (und.count() <= EdgeGate) bfsLevelsLocal(und, maxDepth)
+        else {
+          val e = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+            val sources = deg
+              .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
+              .filter($"deg" === $"max_deg")
+              .select($"node")
+            // safe to unpersist after: every frontier is checkpointed
+            bfsLevelsShuffle(e, sources, maxDepth)
+          } finally e.unpersist()
+        }
       levels.groupBy($"dist")
         .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
           max($"node").as("max_node"))
         .orderBy($"dist")
-    } finally e.unpersist()
+    } finally und.unpersist()
+  }
+
+  /** Frontier-join distributed path (any graph size): per round one
+    * frontier ⋈ edges shuffle + one anti-join against the visited set.
+    * Returns (node, dist) for every reached node.
+    */
+  private[graft] def bfsLevelsShuffle(e: DataFrame, sources: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    // checkpoint each round's NOVEL frontier once; `levels` stays a
+    // lazy union of already-materialized frontiers (re-checkpointing
+    // the whole growing set every round rewrites everything r times)
+    var frontier = sources.select($"node", lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var levels = frontier
+    for (d <- 1 to maxDepth) {
+      val nbrs = frontier.join(e, frontier("node") === e("src"))
+        .select($"dst".as("node")).distinct()
+      frontier = nbrs.join(levels, Seq("node"), "left_anti")
+        .select($"node", lit(d.toLong).as("dist"))
+        .localCheckpoint(true)
+      levels = levels.union(frontier)
+    }
+    levels
+  }
+
+  /** Gated in-memory path over the UNDIRECTED edge list: symmetrize,
+    * derive degrees and the max-degree seed set, then the same
+    * multi-source BFS as a local queue walk — identical reached set and
+    * distances (parity spec).
+    */
+  private[graft] def bfsLevelsLocal(und: DataFrame, maxDepth: Int): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    val es = und.select($"src", $"dst").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    es.foreach { case (u, v) => add(u, v); add(v, u) }
+    val maxDeg = adj.valuesIterator.map(_.size).max
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    var frontier = adj.iterator
+      .collect { case (n, nb) if nb.size == maxDeg => n }.toArray
+    frontier.foreach(dist.update(_, 0L))
+    for (d <- 1 to maxDepth) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { u =>
+        adj(u).foreach { v =>
+          if (!dist.contains(v)) { dist.update(v, d.toLong); next += v }
+        }
+      }
+      frontier = next.toArray
+    }
+    s.createDataFrame(dist.toSeq).toDF("node", "dist")
   }
 
   /** Degree histogram of the co-purchase graph: how many nodes have each

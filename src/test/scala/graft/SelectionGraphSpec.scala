@@ -26,6 +26,45 @@ class SelectionGraphSpec extends AnyFunSuite {
       s"sample mean $sampMean not above population mean $popMean")
   }
 
+  test("pagerank / label-prop / BFS: local fast paths match shuffle paths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random directed multigraph-ish edge set on 40 nodes
+    val raw = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = raw.toDF("src", "dst").repartition(4)
+
+    // pagerank: local path derives degrees/nodes from the distinct edge
+    // list; shuffle path takes the degree-fused list + node set
+    val e = edges.distinct()
+    val ewd = e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+    val nodes = ewd.select($"src".as("node"))
+      .union(ewd.select($"dst".as("node"))).distinct()
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairMap(Graph.pageRankLocal(e, 3)) ==
+      pairMap(Graph.pageRankShuffle(ewd, nodes, 3)))
+
+    // label propagation: local takes the distinct DIRECTED list and
+    // symmetrizes in memory; shuffle takes the symmetrized graph
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val lpNodes = sym.select($"src".as("node")).distinct()
+    assert(pairMap(Graph.labelPropLocal(e, 2)) ==
+      pairMap(Graph.labelPropShuffle(sym, lpNodes, 2)))
+
+    // BFS: local takes the undirected (u < v) list and derives the
+    // max-degree seed set itself; feed the shuffle path the same seeds
+    val und = e.select(least($"src", $"dst").as("src"),
+      greatest($"src", $"dst").as("dst")).distinct()
+    val undSym = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+    val deg = undSym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val srcs = deg
+      .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
+      .filter($"deg" === $"max_deg").select($"node")
+    assert(pairMap(Graph.bfsLevelsLocal(und, 3)) ==
+      pairMap(Graph.bfsLevelsShuffle(undSym, srcs, 3)))
+  }
+
   test("triangle counters agree: adjacency-merge fast path vs shuffle joins") {
     import spark.implicits._
     // random oriented DAG edges on 60 nodes (u < v ⇒ acyclic, a valid
