@@ -31,10 +31,12 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 def scala_out():
     out = os.environ.get("GRAFT_SCALA_OUT", "/tmp/graft_py_parity_scala")
-    if not os.path.isdir(os.path.join(out, "q_word_count")):
+    if not all(os.path.isdir(os.path.join(out, q)) for q in
+               ("q_word_count", "q_celsius", "q_keyby_running_total")):
         subprocess.run(
             ["sbt", "-batch",
-             "runMain graft.Verify %s %s q_word_count,q_celsius"
+             "runMain graft.Verify %s %s "
+             "q_word_count,q_celsius,q_keyby_running_total"
              % (SF_DIR, out)],
             cwd=REPO, check=True, stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL)
@@ -113,6 +115,54 @@ def test_celsius(spark, scala_dir):
                   .collect())
     assert got == want, "celsius mismatch (bit-exact float expected)"
     print("ok celsius parity (%d rows, bit-exact)" % len(got))
+
+
+# ---------------------------------------------------------------------------
+# alphabet — per-key vote totals (reference examples/pony/alphabet), with
+# the Scala engine's exact-decimal float discipline: Python's
+# Decimal(repr(v)) equals Spark's BigDecimal(Double.toString(v)), so the
+# quantized sums — and the final double — are BIT-EXACT across engines.
+# ---------------------------------------------------------------------------
+
+@graft.key_extractor
+def event_type_of(event):
+    return event.event_type
+
+
+class VoteAgg(graft.Aggregation):
+    def initial_accumulator(self):
+        from decimal import Decimal
+        return [Decimal(0), 0]
+
+    def update(self, event, acc):
+        from decimal import Decimal, ROUND_HALF_UP
+        acc[0] += Decimal(repr(event.value)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        acc[1] += 1
+
+    def combine(self, a, b):
+        return [a[0] + b[0], a[1] + b[1]]
+
+    def output(self, key, acc):
+        return (key, float(acc[0]), acc[1])
+
+
+def test_alphabet(spark, scala_dir):
+    pipeline = (graft.source(
+            "Alphabet Votes",
+            graft.ParquetSourceConfig(
+                "events", os.path.join(SF_DIR, "events.parquet")))
+        .key_by(event_type_of)
+        .to(VoteAgg())
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("alphabet", pipeline).run(spark)[0])
+    want = sorted((r.event_type, r.total, r.n_events) for r in
+                  spark.read.parquet(
+                      os.path.join(scala_dir, "q_keyby_running_total"))
+                  .collect())
+    assert got == want, "alphabet mismatch (bit-exact decimal sums " + \
+        "expected):\n py=%r\n sc=%r" % (got[:3], want[:3])
+    print("ok alphabet parity (%d keys, bit-exact decimal sums)" % len(got))
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +340,7 @@ def main():
     try:
         test_word_count(spark, scala_dir)
         test_celsius(spark, scala_dir)
+        test_alphabet(spark, scala_dir)
         test_merge_collect(spark)
         test_range_windows(spark)
         test_count_windows(spark)

@@ -271,20 +271,28 @@ object Graph {
     * (two equi-joins, no node ever explodes on its raw degree). Also
     * reports node/edge totals.
     *
-    * Strategy is size-gated on the measured edge count: when the
-    * oriented adjacency fits a broadcast (~16 B/edge), each partition
-    * counts `|N⁺(u) ∩ N⁺(v)|` per edge by merging two sorted neighbor
-    * arrays — the wedge stream (α(G)·m rows, 40× the edge count here) is
-    * never materialized at all (measured 3.5× faster than generating it
-    * through broadcast hash joins). Past the broadcast budget it falls
-    * back to the general two-shuffle equi-join formulation — the
-    * 1000-executor path where only the m-row edge list moves.
+    * Strategy is size-gated on the measured edge count (see [[EdgeGate]]):
+    * inside the gate, ONE collect of the undirected list and everything
+    * else — degrees, orientation, the `Σ |N⁺(u) ∩ N⁺(v)|` sorted-array
+    * merge count — runs in memory; the wedge stream (α(G)·m rows, 40×
+    * the edge count here) never materializes, and no shuffle beyond the
+    * edge build happens at all. Past the gate it falls back to the
+    * general two-shuffle equi-join formulation — the 1000-executor path
+    * where only the m-row edge list moves.
     */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val und = copurchaseEdges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val nEdges = und.count()
+      if (nEdges <= EdgeGate) {
+        // local path: one collect; degrees, orientation and the
+        // sorted-adjacency merge count all derive in memory
+        val (nNodes, nTriangles) = countTrianglesLocal(und)
+        return Seq((nNodes, nEdges, nTriangles))
+          .toDF("n_nodes", "n_edges", "n_triangles")
+      }
       val deg = und.select($"src".as("n"), $"dst")
         .union(und.select($"dst".as("n"), $"src"))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -305,47 +313,54 @@ object Graph {
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .localCheckpoint(true)
       val nNodes = deg.count()
-      val nEdges = und.count()
-      // ~16 B per oriented edge; stay well inside the 64 MB broadcast cap
-      val broadcastable = nEdges <= EdgeGate
-      val nTriangles: Long =
-        if (broadcastable) countTrianglesAdjacency(dirE)
-        else countTrianglesShuffle(dirE)
+      val nTriangles: Long = countTrianglesShuffle(dirE)
       Seq((nNodes, nEdges, nTriangles))
         .toDF("n_nodes", "n_edges", "n_triangles")
     } finally und.unpersist()
   }
 
-  /** Broadcast path: per directed edge (u,v), merge the two sorted
-    * out-neighbor arrays and count matches — `Σ |N⁺(u) ∩ N⁺(v)|`. The
-    * wedge stream never materializes; requires the oriented adjacency to
-    * fit a broadcast.
+  /** Gated in-memory path over the UNDIRECTED (src < dst, distinct) edge
+    * list: degree-ordered orientation, then `Σ |N⁺(u) ∩ N⁺(v)|` by
+    * merging sorted out-neighbor arrays per oriented edge — the same
+    * count the distributed formulations produce (parity spec). Returns
+    * (nNodes, nTriangles).
     */
-  private[graft] def countTrianglesAdjacency(dirE: DataFrame): Long = {
-    val s = dirE.sparkSession
+  private[graft] def countTrianglesLocal(und: DataFrame): (Long, Long) = {
+    val s = und.sparkSession
     import s.implicits._
-    val adj = dirE.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nb"))
-      .as[(Long, Seq[Long])].collect()
-      .map { case (u, nb) => u -> nb.toArray }.toMap
-    val bc = s.sparkContext.broadcast(adj)
-    dirE.select(col("u"), col("v")).as[(Long, Long)].mapPartitions { it =>
-      val m = bc.value
-      var c = 0L
-      it.foreach { case (u, v) =>
-        val a = m.getOrElse(u, null)
-        val b = m.getOrElse(v, null)
-        if (a != null && b != null) {
+    val es = und.select($"src", $"dst").as[(Long, Long)].collect()
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    // orient low-(deg, id) → high-(deg, id); degree-1 endpoints pruned
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      if (deg(a) > 1 && deg(b) > 1) {
+        val (u, v) =
+          if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b)
+          else (b, a)
+        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+      }
+    }
+    val sorted = adj.map { case (u, nb) => u -> nb.toArray.sorted }
+    var tri = 0L
+    sorted.foreach { case (_, nb) =>
+      nb.foreach { v =>
+        sorted.get(v).foreach { nbv =>
+          // merge two sorted arrays, counting matches
           var i = 0; var j = 0
-          while (i < a.length && j < b.length) {
-            if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-            else if (a(i) < b(j)) i += 1
+          while (i < nb.length && j < nbv.length) {
+            if (nb(i) == nbv(j)) { tri += 1; i += 1; j += 1 }
+            else if (nb(i) < nbv(j)) i += 1
             else j += 1
           }
         }
       }
-      Iterator.single(c)
-    }.reduce(_ + _)
+    }
+    (deg.size.toLong, tri)
   }
 
   /** General path: wedge-extension join + closure join — only the m-row

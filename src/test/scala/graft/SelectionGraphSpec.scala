@@ -65,18 +65,33 @@ class SelectionGraphSpec extends AnyFunSuite {
       pairMap(Graph.bfsLevelsShuffle(undSym, srcs, 3)))
   }
 
-  test("triangle counters agree: adjacency-merge fast path vs shuffle joins") {
+  test("triangle counters agree: local fast path vs shuffle joins vs brute force") {
     import spark.implicits._
-    // random oriented DAG edges on 60 nodes (u < v ⇒ acyclic, a valid
-    // degree-orientation image); both counters must agree exactly
+    // random undirected graph on 60 nodes (u < v, distinct)
     val rnd = new scala.util.Random(7)
     val edges = (for (u <- 0L until 60L; v <- u + 1 until 60L
         if rnd.nextDouble() < 0.15) yield (u, v))
-    val dirE = edges.toDF("u", "v").repartition(4)
-    val fast = Graph.countTrianglesAdjacency(dirE)
+    val und = edges.toDF("src", "dst").repartition(4)
+    // brute force: every node triple with all three edges present
+    val eset = edges.toSet
+    def has(a: Long, b: Long) = eset.contains((a min b, a max b))
+    val brute = (for (a <- 0L until 60L; b <- a + 1 until 60L;
+        c <- b + 1 until 60L
+        if has(a, b) && has(b, c) && has(a, c)) yield 1).size.toLong
+    val (nNodes, local) = Graph.countTrianglesLocal(und)
+    assert(local == brute, s"local=$local brute=$brute")
+    assert(nNodes == edges.flatMap(e => Seq(e._1, e._2)).distinct.size)
+    // shuffle path over the same degree-ordered orientation (no prune —
+    // the count is identical either way, pruning only drops dead wedges)
+    val degM = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val dirE = edges.map { case (a, b) =>
+      if (degM(a) < degM(b) || (degM(a) == degM(b) && a < b)) (a, b)
+      else (b, a)
+    }.toDF("u", "v").repartition(4)
     val general = Graph.countTrianglesShuffle(dirE)
-    assert(fast == general, s"adjacency=$fast shuffle=$general")
-    assert(fast > 0)
+    assert(general == brute, s"shuffle=$general brute=$brute")
+    assert(brute > 0)
   }
 
   test("skyline: no point dominates another; dominated points excluded") {
