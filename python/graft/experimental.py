@@ -1,0 +1,174 @@
+"""graft.experimental — the reference's external-connector protocol
+(machida/lib/wallaroo/experimental: SourceConnector / SinkConnector, the
+classes every script under the reference's connectors/ directory is built
+on) re-expressed for the Spark engine.
+
+A *source connector* is an external process bridging some transport (UDP,
+rabbitmq, kinesis, ...) into the engine. The reference's version writes
+framed messages into a socket; graft's version lands them in a
+DIRECTORY QUEUE as atomically renamed JSONL files — the same at-least-once
+boundary the Scala `DirectoryQueueSourceConfig` / `UdpIngest` tier tails,
+so everything after the rename is replayable by Structured Streaming.
+
+A *sink connector* is an external process receiving the pipeline's output;
+it is a plain TCP listener speaking the same length-framed encoding that
+`graft.TCPSinkConfig` (and the Scala `TcpSinkConfig`) emit.
+
+A reference connector script ports nearly verbatim::
+
+    # reference:                        # graft:
+    import wallaroo.experimental        import graft.experimental
+    c = wallaroo.experimental\\         c = graft.experimental\\
+        .SourceConnector(...)               .SourceConnector(...)
+    c.connect()                         c.connect()
+    c.write(data)                       c.write(data)
+
+(the one deviation: graft passes the landing directory / decoder directly
+instead of re-importing the application module to look them up.)
+"""
+
+import argparse
+import json
+import os
+import socket
+import struct
+import sys
+
+
+def parse_connector_args(args, required_params=(), optional_params=()):
+    """`--connector NAME --NAME-host H --NAME-port P ...` → namespace,
+    exactly the reference's CLI contract."""
+    pre = argparse.ArgumentParser()
+    pre.add_argument("--connector", dest="connector_name")
+    prefix = pre.parse_known_args(args)[0].connector_name or "CONNECTOR_NAME"
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--connector", dest="connector_name", required=True)
+    for key in required_params:
+        parser.add_argument("--%s-%s" % (prefix, key.replace("_", "-")),
+                            dest=key, required=True)
+    for key in optional_params:
+        parser.add_argument("--%s-%s" % (prefix, key.replace("_", "-")),
+                            dest=key)
+    return parser.parse_known_args(args)[0]
+
+
+class SourceConnector(object):
+    """Bridge an external transport into the engine: `write()` lands
+    messages in the directory queue as atomically renamed JSONL files
+    (fields: `value`, `event_time`, `key`). Messages buffer until
+    `flush_every` then land as ONE file — a crashed connector loses only
+    its unflushed buffer, never a partially visible file.
+    """
+
+    def __init__(self, args=None, required_params=(), optional_params=(),
+                 landing_dir=None, flush_every=64):
+        self.params = parse_connector_args(
+            args or sys.argv,
+            tuple(required_params) +
+            (("landing_dir",) if landing_dir is None else ()),
+            optional_params)
+        self._dir = landing_dir or self.params.landing_dir
+        self._flush_every = flush_every
+        self._buf = []
+        self._seq = 0
+        self.count = 0
+        self._connected = False
+
+    def connect(self):
+        os.makedirs(self._dir, exist_ok=True)
+        self._connected = True
+
+    def write(self, message, event_time=0, key=None):
+        if not self._connected:
+            raise RuntimeError("Please call connect before writing")
+        if isinstance(message, bytes):
+            message = message.decode("utf-8", errors="replace")
+        self._buf.append(json.dumps(
+            {"value": message, "event_time": event_time, "key": key}))
+        self.count += 1
+        if len(self._buf) >= self._flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self._buf:
+            return
+        tmp = os.path.join(self._dir, ".land_%d.jsonl.tmp" % self._seq)
+        with open(tmp, "w") as f:
+            f.write("\n".join(self._buf) + "\n")
+        os.rename(tmp, os.path.join(self._dir, "land_%d.jsonl" % self._seq))
+        self._seq += 1
+        self._buf = []
+
+    def close(self):
+        self.flush()
+
+
+class SinkConnector(object):
+    """Receive the pipeline's output: a TCP listener decoding the
+    length-framed stream `graft.TCPSinkConfig` emits. `read()` blocks for
+    the next decoded message (connections from many partitions drain
+    round-robin, like the reference's select loop).
+    """
+
+    def __init__(self, args=None, required_params=(), optional_params=(),
+                 decoder=None):
+        self.params = parse_connector_args(
+            args or sys.argv, required_params, optional_params)
+        self._decoder = decoder
+        self._acceptor = None
+        self._conns = []
+
+    def listen(self, host=None, port=None, backlog=8):
+        acceptor = socket.socket()
+        acceptor.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        acceptor.bind((host or self.params.host,
+                       int(port or self.params.port)))
+        acceptor.listen(backlog)
+        self._acceptor = acceptor
+
+    @property
+    def port(self):
+        return self._acceptor.getsockname()[1]
+
+    def _read_exact(self, conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def read(self, timeout=None):
+        import select as _select
+        while True:
+            readable, _, _ = _select.select(
+                [self._acceptor] + self._conns, [], [], timeout)
+            if not readable:
+                return None
+            for sock in readable:
+                if sock is self._acceptor:
+                    conn, _ = sock.accept()
+                    self._conns.append(conn)
+                    continue
+                header = self._read_exact(
+                    sock, self._decoder.header_length() if self._decoder else 4)
+                if header is None:
+                    self._conns.remove(sock)
+                    sock.close()
+                    continue
+                n = (self._decoder.payload_length(header) if self._decoder
+                     else struct.unpack(">I", header)[0])
+                payload = self._read_exact(sock, n)
+                if payload is None:
+                    self._conns.remove(sock)
+                    sock.close()
+                    continue
+                return (self._decoder.decode(payload) if self._decoder
+                        else payload)
+
+    def close(self):
+        for c in self._conns:
+            c.close()
+        if self._acceptor:
+            self._acceptor.close()

@@ -326,6 +326,56 @@ def test_tcp_roundtrip(spark):
     print("ok live TCP source -> sink roundtrip")
 
 
+# ---------------------------------------------------------------------------
+# experimental connector protocol — the classes the reference's
+# connectors/ scripts are built on (SourceConnector/SinkConnector)
+# ---------------------------------------------------------------------------
+
+def test_source_connector(spark):
+    import tempfile
+    import graft.experimental as exp
+    landing = tempfile.mkdtemp() + "/landing"
+    c = exp.SourceConnector(
+        args=["--connector", "udp", "--udp-landing-dir", landing],
+        flush_every=2)
+    c.connect()
+    c.write("m1", event_time=graft.seconds(1), key="a")
+    c.write(b"m2")          # bytes accepted like the reference's datagrams
+    c.write("m3")
+    c.close()               # flushes the odd tail
+    assert c.count == 3
+    files = sorted(os.listdir(landing))
+    assert files == ["land_0.jsonl", "land_1.jsonl"], files  # no .tmp visible
+    rows = spark.read.json(landing)
+    got = {r.value for r in rows.collect()}
+    assert got == {"m1", "m2", "m3"}, got
+    assert rows.filter("key = 'a'").count() == 1
+    print("ok source connector lands atomic jsonl for the directory queue")
+
+
+def test_sink_connector(spark):
+    import graft.experimental as exp
+    sc = exp.SinkConnector(
+        args=["--connector", "out", "--out-host", "127.0.0.1",
+              "--out-port", "0"],
+        required_params=["host", "port"], decoder=decode_word)
+    sc.listen()
+    words = ["delta", "echo", "foxtrot"]
+    pipeline = (graft.source(
+            "words", graft.DataFrameSourceConfig(
+                "w", spark.createDataFrame([(w,) for w in words], ["w"]),
+                decoder=lambda r: r.w))
+        .to_sink(graft.TCPSinkConfig("127.0.0.1", sc.port, encode_word)))
+    app = graft.build_application("to sink connector", pipeline)
+    runner = threading.Thread(target=lambda: app.run(spark), daemon=True)
+    runner.start()
+    got = sorted(sc.read(timeout=30) for _ in words)
+    sc.close()
+    runner.join(30)
+    assert got == sorted(w.upper() for w in words), got
+    print("ok sink connector decodes the pipeline's framed TCP stream")
+
+
 def main():
     scala_dir = scala_out()
     spark = (SparkSession.builder.master("local[4]")
@@ -345,6 +395,8 @@ def main():
         test_range_windows(spark)
         test_count_windows(spark)
         test_tcp_roundtrip(spark)
+        test_source_connector(spark)
+        test_sink_connector(spark)
         print("ALL PYTHON PARITY TESTS PASSED")
     finally:
         spark.stop()
