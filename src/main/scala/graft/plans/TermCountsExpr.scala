@@ -74,9 +74,12 @@ case class TermCounts(child: Expression, terms: Seq[String])
       val w = ctx.freshName("w")
       val out = ctx.freshName("out")
       val boxed = ctx.freshName("boxed")
-      val termsRef = ctx.addReferenceObj("termBytes", termBytes,
-        classOf[Array[UTF8String]].getName)
       val utf8 = classOf[UTF8String].getName
+      // NOTE: the type must be Java SOURCE syntax ("UTF8String[]") —
+      // classOf[Array[...]].getName yields the JVM binary name
+      // ("[L...;"), which Janino rejects and Spark silently downgrades
+      // to interpreted evaluation (locked by the CODEGEN_ONLY spec)
+      val termsRef = ctx.addReferenceObj("termBytes", termBytes, s"$utf8[]")
       val gir = classOf[GenericInternalRow].getName
       s"""
          |int $n = $arr.numElements();
@@ -92,7 +95,7 @@ case class TermCounts(child: Expression, terms: Seq[String])
          |}
          |Object[] $boxed = new Object[$out.length];
          |for (int $j = 0; $j < $out.length; $j++) {
-         |  $boxed[$j] = $out[$j];
+         |  $boxed[$j] = java.lang.Long.valueOf($out[$j]);
          |}
          |${ev.value} = new $gir($boxed);
        """.stripMargin

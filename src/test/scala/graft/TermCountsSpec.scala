@@ -46,6 +46,28 @@ class TermCountsSpec extends AnyFunSuite {
       (2L, 0L, 1L, 1L), (3L, 0L, 0L, 0L)))
   }
 
+  test("doGenCode compiles — no silent interpreted fallback") {
+    import spark.implicits._
+    TermCounts.register(spark, terms)
+    // default confs MASK codegen bugs: Janino failures log an ERROR and
+    // silently downgrade to interpreted eval (exactly what happened when
+    // the reference-object type was a JVM binary name). Force both
+    // expression and whole-stage codegen to THROW instead.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq("the data model the").toDF("text")
+        .select(TermCounts.termCounts(
+          graft.functions.wordTokens($"text")).as("tc"))
+        .select($"tc.n", $"tc.t0", $"tc.t1", $"tc.t2").head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((4L, 2L, 1L, 1L)))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("bm25 plan has no interpreted lambda in the hot path") {
     val df = graft.operators.Relevance.qBm25(spark, sf)
     df.collect()
