@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{AdjacentPairs, SimHash64, SimHashBits}
+
+/** Forces every `doGenCode`-bearing native expression through BOTH
+  * evaluation modes and compares: `CODEGEN_ONLY` + `fallback=false` makes
+  * a Janino compile failure THROW, where the default confs log an ERROR
+  * and silently downgrade to interpreted eval — the failure mode that hid
+  * the TermCounts binary-name bug (its guard lives in TermCountsSpec).
+  */
+class CodegenGuardSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.configure(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
+
+  private def inMode[A](mode: String)(body: => A): A = {
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("simhash64 / simhash_bits / adjacent_pairs compile and agree") {
+    import spark.implicits._
+    SimHash64.register(spark)
+    SimHashBits.register(spark, bits = 60)
+    AdjacentPairs.register(spark)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one token",
+      "").toDF("text")
+    def run() = df.select(
+        split($"text", " ").as("toks"),
+        transform(split($"text", " "), t => xxhash64(t)).as("hs"))
+      .select(
+        SimHash64.simhash64($"toks").as("sh"),
+        SimHashBits.simhashBits($"hs").as("sb"),
+        AdjacentPairs.pairs($"toks").as("ap"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList))
+      .toSeq
+    val generated = inMode("CODEGEN_ONLY")(run())
+    val interpreted = inMode("NO_CODEGEN")(run())
+    assert(generated == interpreted,
+      s"codegen and interpreted eval diverge:\n g=$generated\n i=$interpreted")
+    assert(generated.head._3.nonEmpty) // bigram list materialized
+  }
+}
