@@ -252,14 +252,22 @@ object Graph {
 
   /** Undirected co-purchase edges between parts appearing in the same
     * order (part ids, deduplicated, src < dst).
+    *
+    * One collect_set aggregate (map-side-combining) + a map-side native
+    * [[graft.plans.PairCombos]] expansion replaces the distinct +
+    * per-order self-join + distinct build — two fewer shuffles of the
+    * widest intermediates. Basket width is naturally bounded (≤7 items
+    * per order in this schema), so the quadratic per-order fan-out is a
+    * constant.
     */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = Sources.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
-    items.as("a").join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst"))
+    graft.plans.PairCombos.register(s)
+    Sources.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(graft.plans.PairCombos.pairs($"ps")).as("pr"))
+      .select($"pr.a".as("src"), $"pr.b".as("dst"))
       .distinct()
   }
 

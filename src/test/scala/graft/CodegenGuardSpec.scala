@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.plans.{AdjacentPairs, SimHash64, SimHashBits}
+import graft.plans.{AdjacentPairs, PairCombos, SimHash64, SimHashBits}
 
 /** Forces every `doGenCode`-bearing native expression through BOTH
   * evaluation modes and compares: `CODEGEN_ONLY` + `fallback=false` makes
@@ -50,5 +50,27 @@ class CodegenGuardSpec extends AnyFunSuite {
     assert(generated == interpreted,
       s"codegen and interpreted eval diverge:\n g=$generated\n i=$interpreted")
     assert(generated.head._3.nonEmpty) // bigram list materialized
+  }
+
+  test("pair_combos compiles, agrees across modes, and matches the self-join") {
+    import spark.implicits._
+    PairCombos.register(spark)
+    val df = Seq(
+      (1L, Seq(3L, 5L, 9L, 11L)),
+      (2L, Seq(7L)),
+      (3L, Seq.empty[Long])).toDF("g", "ps")
+    def run() = df.select($"g", explode(PairCombos.pairs($"ps")).as("pr"))
+      .select($"g", $"pr.a", $"pr.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val generated = inMode("CODEGEN_ONLY")(run())
+    assert(generated == inMode("NO_CODEGEN")(run()))
+    // semantic twin: the distinct self-join pair build
+    val flat = df.select($"g", explode($"ps").as("p"))
+    val joined = flat.as("x").join(flat.as("y"),
+        col("x.g") === col("y.g") && col("x.p") < col("y.p"))
+      .select(col("x.g"), col("x.p"), col("y.p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(generated == joined, s"expr=$generated join=$joined")
+    assert(generated.size == 6) // C(4,2) pairs for group 1, none elsewhere
   }
 }
