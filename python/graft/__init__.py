@@ -104,9 +104,14 @@ class ComputationMulti(Computation):
 class StateComputation(Computation):
     is_stateful = True
 
-    def __init__(self, name, func, state_class):
+    def __init__(self, name, func, state_class, order=None):
         Computation.__init__(self, name, func)
         self.state_class = state_class
+        # optional per-key fold order (e.g. event time) — the batch
+        # equivalent of the Scala KeyedPipeline.toState order columns;
+        # without it, fold order is partition arrival order, exactly a
+        # multi-worker reference run
+        self.order = order
 
     def initial_state(self):
         return self.state_class()
@@ -168,15 +173,15 @@ def computation_multi(name):
     return wrap
 
 
-def state_computation(name, state):
+def state_computation(name, state, order=None):
     def wrap(func):
-        return StateComputation(name, func, state)
+        return StateComputation(name, func, state, order)
     return wrap
 
 
-def state_computation_multi(name, state):
+def state_computation_multi(name, state, order=None):
     def wrap(func):
-        return StateComputationMulti(name, func, state)
+        return StateComputationMulti(name, func, state, order)
     return wrap
 
 
@@ -574,6 +579,8 @@ def _apply_state(rdd, keyed, comp):
         key, msgs = kv
         state = comp.initial_state()
         outs = []
+        if comp.order is not None:
+            msgs = sorted(msgs, key=comp.order)
         for m in msgs:
             res = comp.compute(m, state)
             if res is None:

@@ -32,11 +32,12 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 def scala_out():
     out = os.environ.get("GRAFT_SCALA_OUT", "/tmp/graft_py_parity_scala")
     if not all(os.path.isdir(os.path.join(out, q)) for q in
-               ("q_word_count", "q_celsius", "q_keyby_running_total")):
+               ("q_word_count", "q_celsius", "q_keyby_running_total",
+                "q_asof_join")):
         subprocess.run(
             ["sbt", "-batch",
              "runMain graft.Verify %s %s "
-             "q_word_count,q_celsius,q_keyby_running_total"
+             "q_word_count,q_celsius,q_keyby_running_total,q_asof_join"
              % (SF_DIR, out)],
             cwd=REPO, check=True, stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL)
@@ -327,6 +328,51 @@ def test_tcp_roundtrip(spark):
 
 
 # ---------------------------------------------------------------------------
+# market_spread — per-key latest-quote state consulted by orders (the
+# reference's as-of example), folded in explicit event order
+# ---------------------------------------------------------------------------
+
+class LastView(object):
+    def __init__(self):
+        self.value = None
+
+
+@graft.key_extractor
+def by_user(event):
+    return event.user_id
+
+
+@graft.state_computation(name="check order against last view",
+                         state=LastView, order=lambda ev: ev.event_id)
+def market_check(event, last_view):
+    if event.event_type == "view":
+        last_view.value = event.value
+        return None
+    if event.event_type == "purchase":
+        return (event.event_id, event.user_id, event.value, last_view.value)
+    return None
+
+
+def test_market_spread(spark, scala_dir):
+    pipeline = (graft.source(
+            "Market Spread",
+            graft.ParquetSourceConfig(
+                "events", os.path.join(SF_DIR, "events.parquet")))
+        .key_by(by_user)
+        .to(market_check)
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("market spread", pipeline)
+                 .run(spark)[0])
+    want = sorted(
+        (r.event_id, r.user_id, r.value, r.last_view_value) for r in
+        spark.read.parquet(os.path.join(scala_dir, "q_asof_join")).collect())
+    assert got == want, "market_spread mismatch:\n py=%r\n sc=%r" % (
+        got[:3], want[:3])
+    assert any(v[3] is None for v in got)  # purchases before any view
+    print("ok market_spread parity (%d orders, as-of state)" % len(got))
+
+
+# ---------------------------------------------------------------------------
 # experimental connector protocol — the classes the reference's
 # connectors/ scripts are built on (SourceConnector/SinkConnector)
 # ---------------------------------------------------------------------------
@@ -391,6 +437,7 @@ def main():
         test_word_count(spark, scala_dir)
         test_celsius(spark, scala_dir)
         test_alphabet(spark, scala_dir)
+        test_market_spread(spark, scala_dir)
         test_merge_collect(spark)
         test_range_windows(spark)
         test_count_windows(spark)
