@@ -76,6 +76,13 @@ class SourceConnector(object):
 
     def connect(self):
         os.makedirs(self._dir, exist_ok=True)
+        # resume the file sequence past any prior run's landings — a
+        # restarted connector must never overwrite files already handed
+        # to the engine (one connector per landing dir at a time)
+        seqs = [int(f[len("land_"):-len(".jsonl")])
+                for f in os.listdir(self._dir)
+                if f.startswith("land_") and f.endswith(".jsonl")]
+        self._seq = max(seqs) + 1 if seqs else 0
         self._connected = True
 
     def write(self, message, event_time=0, key=None):
@@ -101,6 +108,89 @@ class SourceConnector(object):
 
     def close(self):
         self.flush()
+
+
+class BaseSource(object):
+    """The reference's resumable-source contract (experimental
+    connectors.py BaseSource): `reset(pos)` rewinds to a point of
+    reference, `point_of_ref()` reports the current one, iteration yields
+    `(value, new_point_of_ref)` tuples, and `acked(por)` is called when
+    everything up to `por` is durably handed off.
+    """
+
+    def __str__(self):
+        raise NotImplementedError
+
+    def reset(self, pos=0):
+        raise NotImplementedError
+
+    def point_of_ref(self):
+        raise NotImplementedError
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        raise NotImplementedError
+
+    def acked(self, point_of_ref):
+        pass
+
+
+class AtLeastOnceSourceConnector(SourceConnector):
+    """At-least-once driver for a [[BaseSource]] (the reference replaced
+    its plain SourceConnector with exactly this shape): the connector
+    persists the last ACKED point of reference next to the landing
+    directory, `reset()`s the source there on startup, and acks after
+    every atomic file rename — the rename IS the durable handoff, since
+    everything after it is replayed by the engine, so a crash re-sends
+    only the unflushed tail. The sidecar is underscore-prefixed, which
+    the streaming file source ignores.
+    """
+
+    def __init__(self, args=None, required_params=(), optional_params=(),
+                 landing_dir=None, flush_every=64):
+        SourceConnector.__init__(self, args, required_params,
+                                 optional_params, landing_dir, flush_every)
+        self._source = None
+        self._pending_por = None
+
+    def _por_path(self, source):
+        return os.path.join(self._dir, "_por_%s.json" % str(source))
+
+    def acked_point_of_ref(self, source):
+        """Last durably landed point of reference, or None for a fresh
+        stream (the reference signals 'nothing processed' with
+        U64.max_value; None is the pythonic reading)."""
+        path = self._por_path(source)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["point_of_ref"]
+        return None
+
+    def flush(self):
+        SourceConnector.flush(self)
+        if self._source is not None and self._pending_por is not None:
+            tmp = self._por_path(self._source) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"point_of_ref": self._pending_por}, f)
+            os.rename(tmp, self._por_path(self._source))
+            self._source.acked(self._pending_por)
+            self._pending_por = None
+
+    def join(self, source, event_time=0, key=None):
+        """Drive `source` to exhaustion with resume + ack bookkeeping."""
+        self.connect()
+        self._source = source
+        por = self.acked_point_of_ref(source)
+        source.reset(por if por is not None else 0)
+        for value, new_por in source:
+            # set BEFORE write: write() may flush at the batch boundary,
+            # and the flushed file includes this message
+            self._pending_por = new_por
+            self.write(value, event_time=event_time, key=key)
+        self.close()
+        self._source = None
 
 
 class SinkConnector(object):
