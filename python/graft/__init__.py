@@ -622,11 +622,14 @@ def _apply_aggregation(rdd, keyed, agg):
 
 def _window_starts(ts, wrange, slide):
     """Epoch-aligned window starts containing ts (tumbling when
-    slide == range; overlapping when slide < range)."""
+    slide == range; overlapping when slide < range): the multiples of
+    `slide` in (ts - wrange, ts] — including NEGATIVE starts for events
+    near the epoch, exactly like the Scala sliding assignment
+    (Windows.withSliding's sequence(wMin, wMax))."""
     last = (ts // slide) * slide
     starts = []
     s = last
-    while s + wrange > ts >= 0 and s >= 0:
+    while s + wrange > ts:
         starts.append(s)
         s -= slide
     return starts

@@ -241,6 +241,78 @@ def test_range_windows(spark):
     print("ok range windows (tumbling)")
 
 
+class AlertAgg(graft.Aggregation):
+    """alerts_windowed shape: per-user windowed total, alert only when
+    the window total clears a threshold (output may be None)."""
+
+    def initial_accumulator(self):
+        return [0]
+
+    def update(self, tx, acc):
+        acc[0] += tx.amount
+
+    def combine(self, a, b):
+        return [a[0] + b[0]]
+
+    def output(self, key, acc):
+        if acc[0] > 12:
+            return ("deposit_alert", key, acc[0])
+        if acc[0] < -12:
+            return ("withdrawal_alert", key, acc[0])
+        return None
+
+
+class SignedTxGen(object):
+    """amounts +1,-2,+3,-4,...; user cycles a/b; ts = i sec."""
+
+    def initial_value(self):
+        return Tx("a", 0, 0)
+
+    def apply(self, last):
+        i = abs(last.amount) + 1
+        amt = i if i % 2 == 1 else -i
+        return Tx("ab"[i % 2], amt, graft.seconds(i))
+
+
+def test_alerts_windowed(spark):
+    # reference examples/python/alerts_windowed: gen source -> key_by user
+    # -> range windows over an Aggregation whose output can suppress
+    pipeline = (graft.source(
+            "Alerts (windowed)",
+            graft.GenSourceConfig("gen", SignedTxGen(), count=12,
+                                  event_time=lambda tx: tx.ts))
+        .key_by(tx_user)
+        .to(graft.range_windows(graft.seconds(6)).over(AlertAgg))
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("alerts", pipeline).run(spark)[0])
+    # amounts 0,+1,-2,+3,...,+11 at ts=i s; positives land on user b
+    # (odd i), negatives on a. windows of 6 s: [0,6) a=-6 b=+9 (both
+    # inside the ±12 threshold, suppressed); [6,12) a=-24 b=+27 -> alerts
+    want = sorted([("deposit_alert", "b", 27),
+                   ("withdrawal_alert", "a", -24)])
+    assert got == want, got
+    print("ok alerts_windowed (aggregation output suppression)")
+
+
+def test_sliding_windows(spark):
+    pipeline = (graft.source(
+            "txs", graft.GenSourceConfig("gen", TxGen(), count=6,
+                                         event_time=lambda tx: tx.ts))
+        .key_by(tx_user)
+        .to(graft.range_windows(graft.seconds(4))
+            .with_slide(graft.seconds(2)).over(SumAgg))
+        .to_sink(graft.MemorySinkConfig()))
+    got = sorted(graft.build_application("slide", pipeline).run(spark)[0])
+    # amounts 0..5 (a=even, b=odd), ts=i s; windows start every 2 s and
+    # span 4 s: [-2,2):{0,1} [0,4):{0..3} [2,6):{2..5} [4,8):{4,5}
+    want = sorted([("a", 0), ("b", 1),          # [-2,2)
+                   ("a", 0 + 2), ("b", 1 + 3),  # [0,4)
+                   ("a", 2 + 4), ("b", 3 + 5),  # [2,6)
+                   ("a", 4), ("b", 5)])         # [4,8)
+    assert got == want, got
+    print("ok sliding range windows (slide < range)")
+
+
 def test_count_windows(spark):
     pipeline = (graft.source(
             "txs", graft.GenSourceConfig("gen", TxGen(), count=10))
@@ -507,6 +579,8 @@ def main():
         test_market_spread(spark, scala_dir)
         test_merge_collect(spark)
         test_range_windows(spark)
+        test_alerts_windowed(spark)
+        test_sliding_windows(spark)
         test_count_windows(spark)
         test_tcp_roundtrip(spark)
         test_source_connector(spark)
