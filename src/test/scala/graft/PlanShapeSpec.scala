@@ -89,6 +89,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sp <= 1, s"vocabulary must not collapse to one partition:\n$plan")
   }
 
+  test("co-purchase edge build is one aggregate + expansion — no self-join") {
+    val plan = executedPlan(Graph.qDegreeDist(spark, sf))
+    // PairCombos replaced the items distinct + per-order self-join +
+    // distinct: any join in this plan is a regression
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("pair_combos"), plan.take(2000))
+  }
+
   test("hard negatives never shuffles the corpus scan") {
     val df = TrainPrep.qHardNegatives(spark, sf)
     df.collect()
