@@ -304,27 +304,38 @@ object Graph {
       val deg = und.select($"src".as("n"), $"dst")
         .union(und.select($"dst".as("n"), $"src"))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
-      // orient: (deg, id) ascending. Degree-1 endpoints can't close a
-      // wedge — prune their edges before the wedge join (the degrees are
-      // already joined for orientation, so the prune is a free filter)
-      val dirE = und
-        .join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), "src")
-        .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "dd"), "dst")
-        .filter($"ds" > 1 && $"dd" > 1)
-        .select(
-          when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"src")
-            .otherwise($"dst").as("u"),
-          when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"dst")
-            .otherwise($"src").as("v"))
-        // spread before checkpoint: AQE coalesces this ~20 MB frame to one
-        // partition, which would serialize the counting stage
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .localCheckpoint(true)
+      val dirE = orientShuffle(und, deg,
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
       val nNodes = deg.count()
       val nTriangles: Long = countTrianglesShuffle(dirE)
       Seq((nNodes, nEdges, nTriangles))
         .toDF("n_nodes", "n_edges", "n_triangles")
     } finally und.unpersist()
+  }
+
+  /** Distributed degree-ordered orientation for the past-the-gate path:
+    * direct every undirected edge low-(deg, id) → high-(deg, id) so each
+    * wedge is enumerated once from its lowest-degree corner (O(√m)
+    * fan-out on power-law graphs). Degree-1 endpoints can't close a
+    * wedge — pruned here for free since the degrees are already joined.
+    */
+  private[graft] def orientShuffle(und: DataFrame, deg: DataFrame,
+      parts: Int): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
+    und
+      .join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "ds"), "src")
+      .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "dd"), "dst")
+      .filter($"ds" > 1 && $"dd" > 1)
+      .select(
+        when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"src")
+          .otherwise($"dst").as("u"),
+        when($"ds" < $"dd" || ($"ds" === $"dd" && $"src" < $"dst"), $"dst")
+          .otherwise($"src").as("v"))
+      // spread before checkpoint: AQE coalesces this ~20 MB frame to one
+      // partition, which would serialize the counting stage
+      .repartition(parts)
+      .localCheckpoint(true)
   }
 
   /** Gated in-memory path over the UNDIRECTED (src < dst, distinct) edge

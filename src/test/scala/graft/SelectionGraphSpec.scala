@@ -81,15 +81,13 @@ class SelectionGraphSpec extends AnyFunSuite {
     val (nNodes, local) = Graph.countTrianglesLocal(und)
     assert(local == brute, s"local=$local brute=$brute")
     assert(nNodes == edges.flatMap(e => Seq(e._1, e._2)).distinct.size)
-    // shuffle path over the same degree-ordered orientation (no prune —
-    // the count is identical either way, pruning only drops dead wedges)
-    val degM = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
-      .view.mapValues(_.size.toLong).toMap
-    val dirE = edges.map { case (a, b) =>
-      if (degM(a) < degM(b) || (degM(a) == degM(b) && a < b)) (a, b)
-      else (b, a)
-    }.toDF("u", "v").repartition(4)
-    val general = Graph.countTrianglesShuffle(dirE)
+    // FULL past-the-gate chain: the distributed degree-ordered
+    // orientation (with its degree-1 prune) feeding the wedge joins
+    val deg = und.select($"src".as("n"), $"dst")
+      .union(und.select($"dst".as("n"), $"src"))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val general = Graph.countTrianglesShuffle(
+      Graph.orientShuffle(und, deg, parts = 4))
     assert(general == brute, s"shuffle=$general brute=$brute")
     assert(brute > 0)
   }
