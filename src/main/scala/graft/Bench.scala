@@ -10,6 +10,19 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
+    // steady-state guard: a busy box (other tenants) inflates every wall
+    // time 1.5-7x. If the 1-minute load average is high at start, wait once
+    // for the box to drain before timing; record both readings so a still-
+    // noisy run is self-describing rather than silently polluted.
+    def load1(): Double =
+      try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
+    val loadWaited = load1() > loadGate
+    if (loadWaited) {
+      System.err.println(s"[bench] loadavg ${load1()} > $loadGate; waiting 90s for box to drain")
+      Thread.sleep(90000)
+    }
     val loadStart = loadavg()
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,10 +46,12 @@ object Bench {
     }
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // optional repeat count: report the MIN across repeats so single-run
-    // jitter (±0.5 s GC/JIT noise at these magnitudes) stops moving the
-    // tail; default 1 keeps the driver's run shape unchanged
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    // repeat count: report the MIN across repeats so single-run jitter
+    // (±0.5 s GC/JIT noise at these magnitudes) stops moving the tail.
+    // Default 2: the artifact should measure steady state, not the cold
+    // first pass — two rounds of driver benches were contention/cold-start
+    // inflated 1.6-7x versus the idle min-of-N map
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
@@ -77,7 +92,7 @@ object Bench {
     // complete per-query map to BENCH_FULL.json in the repo root.
     val env =
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
-      s""""cpus":$cpus,"repeat":$repeat"""
+      s""""cpus":$cpus,"repeat":$repeat,"load_waited":$loadWaited"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},$env,""" +

@@ -21,11 +21,35 @@ object Graph {
   private val Scale = 1000000000000L // 1e12
 
   /** Edge-count gate for the in-memory fast paths of the iterative
-    * algorithms (~24 B per (src, dst, deg) edge row, well inside the
-    * 64 MB broadcast budget). Past the gate every algorithm falls back
-    * to its join-per-round shuffle formulation — the 1000-executor path.
+    * algorithms. Honest driver-heap budget, not the raw 16 B/edge: the
+    * local paths hold the edge list as two primitive Array[Long]
+    * (~16 B/edge after [[collectEdgePairs]]) plus boxed per-node
+    * HashMaps/adjacency (~50-100 B per DIRECTED edge for labelProp/BFS
+    * adjacency, per NODE for pageRank) — ~300-700 MB transient at the
+    * 3M-edge gate, comfortably inside the multi-GB driver heap we run
+    * with but nowhere near the 64 MB broadcast budget; the gate is sized
+    * for driver HEAP, not for broadcast. Past the gate every algorithm
+    * falls back to its join-per-round shuffle formulation — the
+    * 1000-executor path.
     */
   private[graft] val EdgeGate = 3000000L
+
+  /** Collect an edge DataFrame to two primitive Long arrays (src, dst).
+    * Avoids keeping a boxed Array[Tuple2] (~56 B/edge) alive for the
+    * whole local iteration — the Rows are transient and freed after the
+    * copy; the arrays are ~16 B/edge.
+    */
+  private[graft] def collectEdgePairs(e: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = e.collect()
+    val n = rows.length
+    val src = new Array[Long](n)
+    val dst = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      src(i) = rows(i).getLong(0); dst(i) = rows(i).getLong(1); i += 1
+    }
+    (src, dst)
+  }
 
   /** `iters` rounds of damped PageRank (d = 85/100) over an integer edge
     * list. Returns (node, rank) for every node.
@@ -97,18 +121,24 @@ object Graph {
   private[graft] def pageRankLocal(e: DataFrame, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val es = e.select($"src", $"dst").as[(Long, Long)].collect()
+    val (srcA, dstA) = collectEdgePairs(e.select($"src", $"dst"))
+    val m = srcA.length
     val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-    es.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
-    val ids = (es.iterator.map(_._1) ++ es.iterator.map(_._2))
-      .toArray.distinct
+    var k = 0
+    while (k < m) {
+      deg.update(srcA(k), deg.getOrElse(srcA(k), 0L) + 1L); k += 1
+    }
+    val ids = (srcA.iterator ++ dstA.iterator).toArray.distinct
     val init = Scale / ids.length
     val base = 15L * init / 100L
     var rank = scala.collection.mutable.HashMap.from(ids.map(_ -> init))
     for (_ <- 0 until iters) {
       val inMass = scala.collection.mutable.HashMap.empty[Long, Long]
-      es.foreach { case (s, d) =>
+      k = 0
+      while (k < m) {
+        val s = srcA(k); val d = dstA(k)
         inMass.update(d, inMass.getOrElse(d, 0L) + rank(s) / deg(s))
+        k += 1
       }
       rank = scala.collection.mutable.HashMap.from(
         ids.map(nd => nd -> (base + 85L * inMass.getOrElse(nd, 0L) / 100L)))
@@ -182,12 +212,13 @@ object Graph {
   private[graft] def labelPropLocal(dir0: DataFrame, iters: Int): DataFrame = {
     val spark = dir0.sparkSession
     import spark.implicits._
-    val es = dir0.select($"src", $"dst").as[(Long, Long)].collect()
+    val (srcA, dstA) = collectEdgePairs(dir0.select($"src", $"dst"))
     val adj = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.HashSet[Long]]
     def add(a: Long, b: Long): Unit =
       adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
-    es.foreach { case (s, d) => add(s, d); add(d, s) }
+    var k = 0
+    while (k < srcA.length) { add(srcA(k), dstA(k)); add(dstA(k), srcA(k)); k += 1 }
     val ids = adj.keys.toArray
     var labels = scala.collection.mutable.HashMap.from(ids.map(n => n -> n))
     for (_ <- 0 until iters) {
@@ -347,22 +378,27 @@ object Graph {
   private[graft] def countTrianglesLocal(und: DataFrame): (Long, Long) = {
     val s = und.sparkSession
     import s.implicits._
-    val es = und.select($"src", $"dst").as[(Long, Long)].collect()
+    val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
     val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-    es.foreach { case (a, b) =>
-      deg.update(a, deg.getOrElse(a, 0L) + 1L)
-      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    var k = 0
+    while (k < srcA.length) {
+      deg.update(srcA(k), deg.getOrElse(srcA(k), 0L) + 1L)
+      deg.update(dstA(k), deg.getOrElse(dstA(k), 0L) + 1L)
+      k += 1
     }
     // orient low-(deg, id) → high-(deg, id); degree-1 endpoints pruned
     val adj = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-    es.foreach { case (a, b) =>
+    k = 0
+    while (k < srcA.length) {
+      val a = srcA(k); val b = dstA(k)
       if (deg(a) > 1 && deg(b) > 1) {
         val (u, v) =
           if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b)
           else (b, a)
         adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
       }
+      k += 1
     }
     val sorted = adj.map { case (u, nb) => u -> nb.toArray.sorted }
     var tri = 0L
@@ -467,12 +503,13 @@ object Graph {
   private[graft] def bfsLevelsLocal(und: DataFrame, maxDepth: Int): DataFrame = {
     val s = und.sparkSession
     import s.implicits._
-    val es = und.select($"src", $"dst").as[(Long, Long)].collect()
+    val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
     val adj = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
     def add(a: Long, b: Long): Unit =
       adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-    es.foreach { case (u, v) => add(u, v); add(v, u) }
+    var k = 0
+    while (k < srcA.length) { add(srcA(k), dstA(k)); add(dstA(k), srcA(k)); k += 1 }
     val maxDeg = adj.valuesIterator.map(_.size).max
     val dist = scala.collection.mutable.HashMap.empty[Long, Long]
     var frontier = adj.iterator

@@ -36,6 +36,7 @@ case class PairCombos(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    PairCombos.checkWidth(n)
     val out = new java.util.ArrayList[AnyRef]()
     var i = 0
     while (i < n) {
@@ -65,9 +66,14 @@ case class PairCombos(child: Expression) extends UnaryExpression {
       val tmp = ctx.freshName("tmp")
       val gir = classOf[GenericInternalRow].getName
       val gad = classOf[GenericArrayData].getName
-      // no Janino autoboxing: box the longs explicitly
+      val pc = PairCombos.getClass.getName.stripSuffix("$")
+      // no Janino autoboxing: box the longs explicitly. Width-check BEFORE
+      // sizing: n*(n-1)/2 in int arithmetic goes negative past ~46341
+      // elements (NegativeArraySizeException) while the interpreted path
+      // (ArrayList) would proceed — both modes must fail identically.
       s"""
          |int $n = $arr.numElements();
+         |$pc.checkWidth($n);
          |Object[] $out = new Object[$n * ($n - 1) / 2];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -96,6 +102,19 @@ case class PairCombos(child: Expression) extends UnaryExpression {
 }
 
 object PairCombos {
+  /** Widest group the expression accepts: past this the pair fan-out
+    * (n*(n-1)/2 ≈ 1B rows at 46k elements) is a caller bug, not a query —
+    * and the codegen'd int size arithmetic would overflow negative. One
+    * shared guard keeps codegen and interpreted eval failure-identical.
+    */
+  val MaxWidth = 46340
+
+  def checkWidth(n: Int): Unit =
+    if (n > MaxWidth) throw new IllegalArgumentException(
+      s"pair_combos: array has $n elements (max $MaxWidth); " +
+        s"the ${n.toLong * (n - 1) / 2}-pair fan-out of a group this wide " +
+        "must be bounded upstream (slice or prune the group first)")
+
   def pairs(arr: Column): Column =
     org.apache.spark.sql.functions.call_function("pair_combos", arr)
 

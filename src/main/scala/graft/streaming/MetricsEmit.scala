@@ -28,7 +28,10 @@ trait MetricsTransport extends AutoCloseable {
 object MetricsTransport {
 
   /** Newline-framed JSON over TCP — the monitoring_hub connection shape.
-    * Connects lazily and reconnects once per emit after a failure.
+    * Connects lazily and reconnects once per emit after a failure. A remote
+    * failure (receiver restart, RST) never flips `isClosed` on the LOCAL
+    * socket, so a failed write must tear the connection down itself —
+    * otherwise every later emit keeps throwing into a dead pipe forever.
     */
   def tcp(host: String, port: Int): MetricsTransport = new MetricsTransport {
     private var socket: Socket = _
@@ -38,9 +41,14 @@ object MetricsTransport {
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         socket.getOutputStream, StandardCharsets.UTF_8))
     }
+    private def teardown(): Unit = {
+      if (socket != null) { try socket.close() catch { case _: Throwable => () } }
+      socket = null; out = null
+    }
     def emit(line: String): Unit = {
       if (socket == null || socket.isClosed) connect()
-      out.write(line); out.write('\n'); out.flush()
+      try { out.write(line); out.write('\n'); out.flush() }
+      catch { case e: java.io.IOException => teardown(); throw e }
     }
     def close(): Unit = if (socket != null) socket.close()
   }
@@ -79,10 +87,16 @@ final class MetricsEmitter(transport: MetricsTransport)
     val duration = Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)
     val state = Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal).sum
+    // zero-duration/first batches report NaN or Infinity, which is not
+    // valid JSON — a hub-style consumer's parser would reject the frame
+    val rps = {
+      val d = p.processedRowsPerSecond
+      if (d.isNaN || d.isInfinite) 0.0 else d
+    }
     val line =
       s"""{"query":${js(name)},"ts":${js(p.timestamp)},""" +
         s""""batch_id":${p.batchId},"input_rows":${p.numInputRows},""" +
-        s""""rows_per_sec":${p.processedRowsPerSecond},""" +
+        s""""rows_per_sec":$rps,""" +
         s""""batch_ms":$duration,"state_rows":$state}"""
     try transport.emit(line)
     catch { case _: java.io.IOException => dropped.incrementAndGet() }

@@ -73,4 +73,23 @@ class CodegenGuardSpec extends AnyFunSuite {
     assert(generated == joined, s"expr=$generated join=$joined")
     assert(generated.size == 6) // C(4,2) pairs for group 1, none elsewhere
   }
+
+  test("pair_combos rejects over-wide arrays identically in both modes") {
+    import spark.implicits._
+    PairCombos.register(spark)
+    // past MaxWidth the codegen'd int size arithmetic would overflow
+    // negative while interpreted eval would grind on — both must fail
+    // with the same clear error instead
+    val wide = Seq(Tuple1((0L until (PairCombos.MaxWidth + 1).toLong).toArray))
+      .toDF("ps")
+    def run(): Unit =
+      wide.select(PairCombos.pairs($"ps")).collect()
+    Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+      val e = intercept[Throwable](inMode(mode)(run()))
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("pair_combos") && msgs.contains("max"),
+        s"$mode: want the width-guard error, got: $msgs")
+    }
+  }
 }

@@ -71,6 +71,52 @@ class MetricsEmitSpec extends AnyFunSuite {
     }
   }
 
+  test("tcp transport reconnects after the receiver breaks an established connection") {
+    val server = new ServerSocket(0)
+    val received = mutable.ArrayBuffer.empty[String]
+    val conns = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val c = server.accept()
+        conns.put(c)
+        val rd = new Thread(() => {
+          try {
+            val r = new BufferedReader(new InputStreamReader(c.getInputStream))
+            var line = r.readLine()
+            while (line != null) {
+              received.synchronized(received += line); line = r.readLine()
+            }
+          } catch { case _: Exception => () }
+        })
+        rd.setDaemon(true); rd.start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val t = MetricsTransport.tcp("localhost", server.getLocalPort)
+    try {
+      t.emit("before")
+      val c1 = conns.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c1 != null)
+      val deadline0 = System.currentTimeMillis + 5000
+      while (!received.synchronized(received.contains("before")) &&
+        System.currentTimeMillis < deadline0) Thread.sleep(50)
+      assert(received.synchronized(received.contains("before")))
+      // receiver restart: RST the established connection. The local socket
+      // never learns via isClosed — only a failed write reveals the break,
+      // and emit must tear down + reconnect instead of wedging forever.
+      c1.setSoLinger(true, 0); c1.close()
+      var i = 0
+      while (!received.synchronized(received.exists(_.startsWith("after"))) &&
+        i < 100) {
+        try t.emit(s"after$i")
+        catch { case _: java.io.IOException => () } // the revealing write
+        i += 1; Thread.sleep(50)
+      }
+      assert(received.synchronized(received.exists(_.startsWith("after"))),
+        s"no post-break line delivered after $i emits: $received")
+    } finally { t.close(); server.close() }
+  }
+
   test("file transport appends JSONL; dead TCP receiver drops, not throws") {
     val path = Files.createTempDirectory("metrics").resolve("m.jsonl").toString
     val ft = MetricsTransport.file(path)
