@@ -22,7 +22,7 @@ object SparkEntry {
       Relevance.queries ++ Funnel.queries ++ Pq.queries ++ IvfPq.queries ++ Bpe.queries ++ Graph.queries ++ Sampling.queries ++ Colloc.queries ++ Timeseries.queries ++ LmScore.queries ++
       Reshape.queries ++ Temporal.queries ++ Itemsets.queries ++ EditDist.queries ++
       Features.queries ++ TableDiff.queries ++ Chunking.queries ++ SparseSim.queries ++
-      Sampling2.queries ++ TrainPrep.queries ++ Quality.queries ++ Spectral.queries ++ Hybrid.queries
+      Sampling2.queries ++ TrainPrep.queries ++ Quality.queries ++ Spectral.queries ++ Hybrid.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +35,5 @@ object SparkEntry {
       Relevance.oracles ++ Funnel.oracles ++ Pq.oracles ++ IvfPq.oracles ++ Bpe.oracles ++ Graph.oracles ++ Sampling.oracles ++ Colloc.oracles ++ Timeseries.oracles ++ LmScore.oracles ++
       Reshape.oracles ++ Temporal.oracles ++ Itemsets.oracles ++ EditDist.oracles ++
       Features.oracles ++ TableDiff.oracles ++ Chunking.oracles ++ SparseSim.oracles ++
-      Sampling2.oracles ++ TrainPrep.oracles ++ Quality.oracles ++ Spectral.oracles ++ Hybrid.oracles
+      Sampling2.oracles ++ TrainPrep.oracles ++ Quality.oracles ++ Spectral.oracles ++ Hybrid.oracles ++ Skew.oracles
 }

@@ -137,18 +137,41 @@ object Similarity {
     * merge); the label gate is applied at heap insert so skipped rows
     * cost one comparison, not a heap operation.
     */
+  /** Stream the query side to the driver in bounded chunks: the driver
+    * never holds more than one parquet partition + one chunk of query
+    * vectors, so a query batch far past the broadcast budget still
+    * completes — each chunk is broadcast, scanned, and its heaps merged,
+    * then the per-chunk results (disjoint query ids) union. The
+    * queries≪corpus case is unchanged: one chunk, one scan.
+    */
+  private def queryChunks(queries: DataFrame, cols: Seq[Column],
+      chunkSize: Int): Iterator[Array[org.apache.spark.sql.Row]] = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    import scala.jdk.CollectionConverters._
+    queries.select(cols: _*).toLocalIterator().asScala.grouped(chunkSize)
+      .map(_.toArray)
+  }
+
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
-      qLabelCol: String, k: Int): DataFrame = {
+      qLabelCol: String, k: Int, chunkSize: Int = 8192): DataFrame = {
+    val chunks = queryChunks(queries,
+      Seq(col(qIdCol).cast("long"), col(qVecCol), col(qLabelCol).cast("long")),
+      chunkSize)
+      .map(_.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+        .sortBy(_._1))
+      .map(hardNegativesChunk(emb, idCol, vecCol, labelCol, _, k))
+      .toSeq
+    require(chunks.nonEmpty, "hardNegatives: no query vectors")
+    chunks.reduce(_ union _)
+  }
+
+  private def hardNegativesChunk(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String,
+      qs: Array[(Long, Array[Float], Long)], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val qs = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol), col(qLabelCol).cast("long"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
-      .sortBy(_._1)
-    require(qs.nonEmpty, "hardNegatives: no query vectors")
     val bc = spark.sparkContext.broadcast(qs)
     val heapOrd: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
       def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -214,14 +237,22 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, chunkSize: Int = 8192): DataFrame = {
+    val chunks = queryChunks(queries,
+      Seq(col(qIdCol).cast("long"), col(qVecCol)), chunkSize)
+      .map(_.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1))
+      .map(knnJoinChunk(emb, idCol, vecCol, _, k, excludeSelf))
+      .toSeq
+    require(chunks.nonEmpty, "knnJoin: no query vectors")
+    chunks.reduce(_ union _)
+  }
+
+  private def knnJoinChunk(emb: DataFrame, idCol: String, vecCol: String,
+      qs: Array[(Long, Array[Float])], k: Int,
+      excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(qs.nonEmpty, "knnJoin: no query vectors")
     val bc = spark.sparkContext.broadcast(qs)
     // heap head = WORST kept candidate: lower cos ranks higher, ties by
     // higher id — so replacing the head keeps top-k by cos desc / id asc

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Sources
 
 /** Skew-handling utilities. AQE's skew-join split handles most runtime
   * skew; explicit salting is the tool when one join key dominates so
@@ -40,4 +41,44 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Hot-key join through the salted path: 90% of events collapse onto one
+    * synthetic key (`event_id % 10 < 9 → 'hot'` — deterministic, so the
+    * oracle reproduces it), joined to a per-key dim through
+    * [[saltedJoin]] with fan-out 8. The small side carries a shuffle-hash
+    * hint so the plan exercises the real salted-shuffle shape (a
+    * broadcast would hide the hot key entirely — and at 100 TB the dim
+    * side of a hot join isn't always broadcastable). Result is identical
+    * to the plain join (parity + plan shape pinned in OperatorSpec).
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Sources.events(s, dir)
+      .select($"event_id",
+        when(pmod($"event_id", lit(10)) < 9, lit("hot"))
+          .otherwise($"event_type").as("hot_key"))
+    val dim = e.groupBy($"hot_key").agg(count(lit(1)).as("key_rows"))
+    saltedJoin(e, dim.hint("shuffle_hash"), Seq("hot_key"), $"event_id", 8)
+      .groupBy($"hot_key")
+      .agg(count(lit(1)).as("n_rows"), max($"key_rows").as("key_rows"),
+        sum(pmod($"event_id", lit(997L))).as("id_checksum"))
+      .orderBy($"hot_key")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_skew_join" -> qSkewJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 < 9 THEN 'hot' ELSE event_type END AS hot_key
+        |  FROM events),
+        |dim AS (SELECT hot_key, COUNT(*) AS key_rows FROM e GROUP BY hot_key)
+        |SELECT e.hot_key, COUNT(*) AS n_rows, MAX(d.key_rows) AS key_rows,
+        |  CAST(SUM(e.event_id % 997) AS BIGINT) AS id_checksum
+        |FROM e JOIN dim d ON e.hot_key = d.hot_key
+        |GROUP BY e.hot_key ORDER BY e.hot_key""".stripMargin)
 }

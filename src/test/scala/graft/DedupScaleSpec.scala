@@ -118,4 +118,42 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(probed.count() ==
       assigned.filter($"bucket".isin(0L, 1L, 2L)).count())
   }
+
+  test("knnJoin/hardNegatives: chunked query side equals the one-shot path") {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, sf)
+    // 25 queries through chunkSize=7 → four chunks: the over-broadcast-
+    // budget shape (a 1M-query batch never lands on the driver at once)
+    val queries = emb.filter($"vec_id" < 25)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val oneShot = Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, chunkSize = 1 << 20)
+    val chunked = Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, chunkSize = 7)
+    assert(key(chunked) == key(oneShot))
+    assert(key(chunked).map(_._1).distinct.size == 25)
+
+    val lab = emb.withColumn("label", pmod($"vec_id", lit(3)))
+    val qlab = lab.filter($"vec_id" < 25)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"label".as("qlabel"))
+    def hkey(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val hOne = Similarity.hardNegatives(lab, "vec_id", "embedding", "label",
+      qlab, "qid", "qv", "qlabel", k = 5, chunkSize = 1 << 20)
+    val hChunk = Similarity.hardNegatives(lab, "vec_id", "embedding", "label",
+      qlab, "qid", "qv", "qlabel", k = 5, chunkSize = 7)
+    assert(hkey(hChunk) == hkey(hOne))
+    // the label gate held in every chunk
+    val labels = lab.select($"vec_id", $"label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    hkey(hChunk).foreach { case (qid, id, _) =>
+      assert(labels(id) != labels(qid), s"same-label pair ($qid, $id)")
+    }
+  }
 }

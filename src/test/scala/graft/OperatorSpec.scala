@@ -168,6 +168,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(aggSalted == aggPlain)
   }
 
+  test("skew: q_skew_join runs the salted-shuffle plan and matches the plain join") {
+    import spark.implicits._
+    val df = Skew.qSkewJoin(spark, sf)
+    // plan shape: the join carries the salt in its keys (8-way fan-out of
+    // the hot key) and the small side hashes rather than broadcasts
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_salt"), s"salt column absent from plan:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("ShuffledHashJoin"),
+      s"want the shuffled-hash salted join, got:\n$physical")
+    assert(!physical.contains("BroadcastHashJoin"),
+      "broadcast would hide the hot-key fan-out")
+    // parity: identical to the unsalted formulation
+    val e = Sources.events(spark, sf)
+      .select($"event_id",
+        when(pmod($"event_id", lit(10)) < 9, lit("hot"))
+          .otherwise($"event_type").as("hot_key"))
+    val dim = e.groupBy($"hot_key").agg(count(lit(1)).as("key_rows"))
+    val plain = e.join(dim, Seq("hot_key"))
+      .groupBy($"hot_key")
+      .agg(count(lit(1)).as("n_rows"), max($"key_rows").as("key_rows"),
+        sum(pmod($"event_id", lit(997L))).as("id_checksum"))
+      .orderBy($"hot_key")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+    // the hot key really is hot: ~90% of rows on one key
+    val hot = df.filter($"hot_key" === "hot").head.getLong(1).toDouble
+    val total = df.agg(sum($"n_rows")).head.getLong(0).toDouble
+    assert(hot / total > 0.85, s"hot share ${hot / total}")
+  }
+
   test("asOf: generic two-table as-of join picks latest preceding value") {
     import spark.implicits._
     val trades = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("sym", "t")
