@@ -132,4 +132,30 @@ class SelectionGraphSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head.getLong(0) == 0L)
     assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("iterative shuffle paths truncate lineage: plan size is round-independent") {
+    import spark.implicits._
+    // without the per-round localCheckpoint, round r's plan would embed
+    // rounds 1..r-1 — quadratic re-execution at scale. With it, the final
+    // plan is a flat scan of the checkpointed RDD no matter how many
+    // rounds ran.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val ewd = e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    def planSize(iters: Int): Int =
+      Graph.pageRankShuffle(ewd, nodes, iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    val p2 = planSize(2)
+    val p8 = planSize(8)
+    assert(p8 == p2, s"plan grew with rounds: $p2 nodes @2 iters, $p8 @8")
+    assert(p8 <= 3, s"final plan must be a flat checkpoint scan, got $p8 nodes")
+    // same shape for label propagation and BFS
+    val lp2 = Graph.labelPropShuffle(e, nodes, 2)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    val lp6 = Graph.labelPropShuffle(e, nodes, 6)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(lp2 == lp6, s"label-prop plan grew: $lp2 vs $lp6")
+  }
 }
