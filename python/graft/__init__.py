@@ -406,6 +406,56 @@ class TCPSourceConfig(object):
         return spark.sparkContext.parallelize(msgs)
 
 
+class DirectoryQueueSourceConfig(object):
+    """Streaming source over the at-least-once directory queue that
+    `graft.experimental.SourceConnector` lands into (atomically renamed
+    `land_*.jsonl` files of `{"value","event_time","key"}` records):
+    `poll()` returns the messages of files that appeared since the last
+    poll, in landing order — the machida run loop's ingest side. Files
+    are never seen partially (the rename is the visibility barrier) and
+    never re-read (processed names are tracked), so a batch is exactly
+    the newly landed tail.
+    """
+
+    def __init__(self, name, landing_dir, decoder=None, event_time=None):
+        import os
+        self.name = name
+        self.landing_dir = landing_dir
+        self.decoder = decoder
+        self.event_time = event_time
+        self._seen = set()
+        os.makedirs(landing_dir, exist_ok=True)
+
+    def to_tuple(self):
+        return ("directory_queue", self.name, self.landing_dir)
+
+    def poll(self):
+        import json as _json
+        import os
+        names = sorted(
+            f for f in os.listdir(self.landing_dir)
+            if f.startswith("land_") and f.endswith(".jsonl")
+            and f not in self._seen)
+        out = []
+        for f in names:
+            with open(os.path.join(self.landing_dir, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        rec = _json.loads(line)
+                        msg = rec["value"]
+                        if self.decoder:
+                            msg = self.decoder(msg)
+                        out.append((rec.get("event_time", 0), msg))
+            self._seen.add(f)
+        return out
+
+    def load(self, spark):
+        """Batch fallback: everything landed so far, one RDD."""
+        msgs = [m for _, m in self.poll()]
+        return spark.sparkContext.parallelize(msgs)
+
+
 # ---------------------------------------------------------------------------
 # Sink configs
 # ---------------------------------------------------------------------------
@@ -697,6 +747,182 @@ class Application(object):
         (MemorySinkConfig entries yield message lists)."""
         rdd, keyed, results = self._execute(spark, self._stages)
         return results
+
+    def run_stream(self, spark=None, poll_interval=0.25, idle_polls=None,
+                   stop=None, on_batch=None):
+        """machida-style CONTINUOUS run: a micro-batch loop over a
+        streaming source config (one with `poll()`, e.g.
+        [[DirectoryQueueSourceConfig]]). Per poll, newly landed messages
+        flow through the stages message-at-a-time; state computations and
+        aggregations keep per-key state ACROSS batches (the reference's
+        one-actor-per-key model — this runner IS that single worker
+        process; the multi-executor scale tier is the Scala engine), and
+        aggregations emit their updated output per message, so a sink's
+        LAST emission per key is the current value — exactly machida's
+        running-count behavior.
+
+        Stops when `stop()` returns True, or after `idle_polls` empty
+        polls (None = run until stopped). Returns the sink results
+        (memory sinks: list of every emission, in order). `on_batch`
+        (n_msgs -> None) fires after each non-empty batch for tests.
+        """
+        import time as _time
+        stages = self._stages
+        if stages[0][0] != "source":
+            raise GraftParameterError("pipeline must start with source()")
+        cfg = stages[0][2]
+        if not hasattr(cfg, "poll"):
+            raise GraftParameterError(
+                "run_stream needs a streaming source config with poll(), "
+                "e.g. DirectoryQueueSourceConfig")
+        state = {}       # stage index -> per-key state / accumulator
+        window_acc = {}  # stage index -> (key, window_start) -> accumulator
+        sinks = [list() for s in stages if s[0] in ("to_sink", "to_sinks")]
+        idle = 0
+        while True:
+            if stop is not None and stop():
+                break
+            batch = cfg.poll()
+            if not batch:
+                idle += 1
+                if idle_polls is not None and idle >= idle_polls:
+                    break
+                _time.sleep(poll_interval)
+                continue
+            idle = 0
+            self._stream_batch(batch, stages, state, window_acc, sinks)
+            if on_batch is not None:
+                on_batch(len(batch))
+        # end-of-stream: range/count windows flush their open accumulators
+        self._stream_flush(stages, state, window_acc, sinks)
+        return sinks
+
+    def _stream_batch(self, batch, stages, state, window_acc, sinks):
+        """One micro-batch through the stage list. Messages ride as
+        (key, event_time, value) triples; key is None until key_by."""
+        msgs = [(None, et, m) for (et, m) in batch]
+        self._stream_stages(msgs, stages, state, window_acc, sinks,
+                            flush=False)
+
+    def _stream_flush(self, stages, state, window_acc, sinks):
+        self._stream_stages([], stages, state, window_acc, sinks,
+                            flush=True)
+
+    def _stream_stages(self, msgs, stages, state, window_acc, sinks,
+                       flush):
+        sink_i = 0
+        for si, stage in enumerate(stages):
+            kind = stage[0]
+            if kind == "source":
+                continue
+            elif kind == "to":
+                comp = stage[1]
+                out = []
+                for (k, et, m) in msgs:
+                    r = comp.compute(m)
+                    if r is None:
+                        continue
+                    if comp.is_multi:
+                        out.extend((k, et, o) for o in r)
+                    else:
+                        out.append((k, et, r))
+                msgs = out
+            elif kind == "key_by":
+                ex = stage[1]
+                msgs = [(ex.extract_key(m), et, m) for (_, et, m) in msgs]
+            elif kind == "collect":
+                msgs = [(0, et, m) for (_, et, m) in msgs]
+            elif kind == "to_state":
+                comp = stage[1]
+                st = state.setdefault(si, {})
+                out = []
+                for (k, et, m) in msgs:
+                    if k is None:
+                        raise GraftParameterError(
+                            "state computations need key_by()/collect()")
+                    if k not in st:
+                        st[k] = comp.initial_state()
+                    r = comp.compute(m, st[k])
+                    if r is None:
+                        continue
+                    if comp.is_multi:
+                        out.extend((k, et, o) for o in r)
+                    else:
+                        out.append((k, et, r))
+                msgs = out
+            elif kind == "to_aggregation":
+                agg = stage[1]
+                st = state.setdefault(si, {})
+                out = []
+                for (k, et, m) in msgs:
+                    if k is None:
+                        raise GraftParameterError(
+                            "aggregations need key_by()/collect()")
+                    if k not in st:
+                        st[k] = agg.initial_accumulator()
+                    agg.update(m, st[k])
+                    r = agg.output(k, st[k])
+                    if r is not None:
+                        out.append((k, et, r))
+                msgs = out
+            elif kind == "to_range_windows":
+                win = stage[1]
+                acc = window_acc.setdefault(si, {})
+                agg = win.aggregation
+                for (k, et, m) in msgs:
+                    for s in _window_starts(et, win.range, win.slide):
+                        wk = (k, s)
+                        if wk not in acc:
+                            acc[wk] = agg.initial_accumulator()
+                        agg.update(m, acc[wk])
+                if flush:
+                    out = []
+                    for (k, s) in sorted(acc.keys()):
+                        r = agg.output(k, acc[(k, s)])
+                        if r is not None:
+                            out.append((k, s, r))
+                    msgs = out
+                else:
+                    msgs = []  # windows emit on flush (end of stream)
+            elif kind == "to_count_windows":
+                win = stage[1]
+                agg, n = win.aggregation, win.count
+                st = state.setdefault(si, {})
+                out = []
+                for (k, et, m) in msgs:
+                    acc, filled = st.get(k, (None, 0))
+                    if acc is None:
+                        acc = agg.initial_accumulator()
+                    agg.update(m, acc)
+                    filled += 1
+                    if filled == n:
+                        r = agg.output(k, acc)
+                        if r is not None:
+                            out.append((k, et, r))
+                        acc, filled = None, 0
+                    st[k] = (acc, filled)
+                if flush:
+                    for k in sorted(st.keys()):
+                        acc, filled = st[k]
+                        if filled > 0:
+                            r = agg.output(k, acc)
+                            if r is not None:
+                                out.append((k, 0, r))
+                        st[k] = (None, 0)
+                msgs = out
+            elif kind == "merge":
+                raise GraftParameterError(
+                    "merge() is not supported in run_stream yet — run "
+                    "each branch as its own streaming pipeline")
+            elif kind in ("to_sink", "to_sinks"):
+                cfgs = (stage[1],) if kind == "to_sink" else stage[1]
+                for cfg in cfgs:
+                    enc = getattr(cfg, "encoder", None)
+                    for (_, _, m) in msgs:
+                        sinks[sink_i].append(enc.encode(m) if enc else m)
+                sink_i += 1
+            else:
+                raise GraftParameterError("unknown stage %r" % (kind,))
 
     def _execute(self, spark, stages):
         rdd = None
