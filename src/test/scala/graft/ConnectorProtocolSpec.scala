@@ -164,6 +164,41 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("two senders, two streams: independent por tracking on one listener") {
+    val ckpt = Files.createTempDirectory("connector_ckpt3").toString
+    Delivered.rows.clear()
+    val q = startQuery(ckpt, "multi_test")
+    val srcA = new SeqSource((1 to 300).map(i => s"a-$i".getBytes))
+    val srcB = new SeqSource((1 to 150).map(i => s"b-$i".getBytes))
+    def port() = ConnectorRegistry.port("multi_test").getOrElse(
+      throw new java.io.IOException("listener not up"))
+    val ca = new AtLeastOnceClient("localhost", () => port(), "secret",
+      "app", "wA", 1L, "stream_a", srcA)
+    val cb = new AtLeastOnceClient("localhost", () => port(), "secret",
+      "app", "wB", 2L, "stream_b", srcB)
+    try {
+      val ta = ca.runInBackground(); val tb = cb.runInBackground()
+      ta.join(60000); tb.join(60000)
+      assert(!ta.isAlive && !tb.isAlive, "a sender missed its final ack")
+      q.processAllAvailable()
+      val got = Delivered.snapshot()
+      val byStream = got.groupBy(_._1)
+      assert(byStream(1L).map(_._2).toSet == (1L to 300L).toSet)
+      assert(byStream(2L).map(_._2).toSet == (1L to 150L).toSet)
+      byStream(1L).foreach { case (_, mid, v) => assert(v == s"a-$mid") }
+      byStream(2L).foreach { case (_, mid, v) => assert(v == s"b-$mid") }
+      // both streams' pors acked independently at their own frontiers
+      assert(srcA.ackedPor.get == 300L && srcB.ackedPor.get == 150L)
+      val porFile = Paths.get(ckpt, "sources", "0", "graft-connector-por.json")
+      val pors = ConnectorOffset.parse(new String(
+        Files.readAllBytes(porFile), StandardCharsets.UTF_8)).pors
+      assert(pors == scala.collection.immutable.SortedMap(1L -> 300L, 2L -> 150L),
+        s"persisted por map: $pors")
+    } finally {
+      ca.stopped.set(true); cb.stopped.set(true); q.stop()
+    }
+  }
+
   test("bad cookie is rejected with an Error frame") {
     val ckpt = Files.createTempDirectory("connector_ckpt2").toString
     val q = startQuery(ckpt, "cookie_test")
