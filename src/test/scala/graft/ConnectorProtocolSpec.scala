@@ -199,6 +199,53 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed app over the live connector: protocol event_time drives event-time windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("connector_ckpt4").toString
+    val n = 300
+    // amount rides in the payload, event time in the protocol field —
+    // one synthetic reading every 2s of event time
+    val source = new SeqSource((1 to n).map(i => f"${i * 1.5}%.1f".getBytes))
+    val client = new AtLeastOnceClient(
+      "localhost", () => ConnectorRegistry.port("window_test").getOrElse(
+        throw new java.io.IOException("listener not up")),
+      "secret", "app", "w1", 3L, "readings", source,
+      eventTimeOf = por => por * 2L)
+    val q = spark.readStream.format("graft-connector")
+      .option("port", "0").option("name", "window_test")
+      .option("cookie", "secret")
+      .load()
+      .select(timestamp_seconds($"event_time").as("ts"),
+        $"value".cast("string").cast("double").as("amount"))
+      .groupBy(window($"ts", "60 seconds"))
+      .agg(sum($"amount").as("total"), count(lit(1)).as("n"))
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("connector_windows")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val t = client.runInBackground()
+      t.join(60000)
+      assert(!t.isAlive, "sender did not finish")
+      q.processAllAvailable()
+      val got = spark.table("connector_windows")
+        .select(unix_timestamp($"window.start").as("w"), $"total", $"n")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      // oracle: reading i has event time 2i sec, amount 1.5i
+      val expect = (1 to n).groupBy(i => (2L * i) / 60 * 60)
+        .map { case (w, is) =>
+          (w, is.map(i => (f"${i * 1.5}%.1f").toDouble).sum, is.size.toLong)
+        }.toSeq.sortBy(_._1)
+      assert(got.map(t3 => (t3._1, t3._3)).toSeq == expect.map(t3 => (t3._1, t3._3)),
+        s"window row counts diverge:\n got=${got.toSeq}\n want=$expect")
+      got.zip(expect).foreach { case ((w, total, _), (_, want, _)) =>
+        assert(math.abs(total - want) < 1e-6, s"window $w: $total vs $want")
+      }
+    } finally { client.stopped.set(true); q.stop() }
+  }
+
   test("bad cookie is rejected with an Error frame") {
     val ckpt = Files.createTempDirectory("connector_ckpt2").toString
     val q = startQuery(ckpt, "cookie_test")
