@@ -18,7 +18,7 @@ object PlanAudit {
     "q_ann_ivfpq", "q_bpe_train", "q_pagerank", "q_stratified_sample",
     "q_edit_join", "q_skyline", "q_tfidf_cosine", "q_cdc_chunks",
     "q_hard_negatives", "q_bfs_levels", "q_topk_pergroup",
-    "q_hybrid_search", "q_expectations")
+    "q_hybrid_search", "q_expectations", "q_skew_join")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

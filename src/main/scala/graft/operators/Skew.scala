@@ -67,8 +67,28 @@ object Skew {
       .orderBy($"hot_key")
   }
 
+  /** Two-phase salted aggregation over the same 90%-hot key: phase 1
+    * groups by (key, salt) with DECIMAL partial sums (associates exactly,
+    * so the two-phase result is bit-identical to the direct aggregate and
+    * the SQL oracle), phase 2 merges per key — the hot key's reduce work
+    * fans out over 8 tasks instead of one.
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Sources.events(s, dir)
+      .select($"event_id", $"value",
+        when(pmod($"event_id", lit(10)) < 9, lit("hot"))
+          .otherwise($"event_type").as("hot_key"))
+    saltedAggregate(e, Seq("hot_key"), $"event_id", 8,
+      partials = Seq(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(27,6)")).as("pt")),
+      merges = Seq(sum($"pn").as("n_rows"),
+        sum($"pt").cast("double").as("total_value")))
+      .orderBy($"hot_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_skew_join" -> qSkewJoin)
+    Map("q_skew_join" -> qSkewJoin, "q_skew_agg" -> qSkewAgg)
 
   val oracles: Map[String, String] = Map(
     "q_skew_join" ->
@@ -80,5 +100,11 @@ object Skew {
         |SELECT e.hot_key, COUNT(*) AS n_rows, MAX(d.key_rows) AS key_rows,
         |  CAST(SUM(e.event_id % 997) AS BIGINT) AS id_checksum
         |FROM e JOIN dim d ON e.hot_key = d.hot_key
-        |GROUP BY e.hot_key ORDER BY e.hot_key""".stripMargin)
+        |GROUP BY e.hot_key ORDER BY e.hot_key""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT
+        |  CASE WHEN event_id % 10 < 9 THEN 'hot' ELSE event_type END AS hot_key,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
