@@ -246,6 +246,57 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     } finally { client.stopped.set(true); q.stop() }
   }
 
+  test("union of two listeners: per-source ack indexing into the shared offset log") {
+    // the documented scale path — N listeners union'd into one query —
+    // gives each source its own sources/<idx> checkpoint; the durable-ack
+    // flusher must pick ITS line out of the shared offsets file (idx 1
+    // would silently read idx 0's pors if the indexing were wrong)
+    val ckpt = Files.createTempDirectory("connector_ckpt5").toString
+    Delivered.rows.clear()
+    def src(name: String) = spark.readStream.format("graft-connector")
+      .option("port", "0").option("name", name).option("cookie", "secret")
+      .load()
+    val q = src("union_a").union(src("union_b"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          Delivered.rows.add((r.getLong(0), r.getLong(1),
+            new String(r.getAs[Array[Byte]]("value"), StandardCharsets.UTF_8)))
+        }
+      }
+      .start()
+    val sa = new SeqSource((1 to 200).map(i => s"a-$i".getBytes))
+    val sb = new SeqSource((1 to 200).map(i => s"b-$i".getBytes))
+    val ca = new AtLeastOnceClient("localhost",
+      () => ConnectorRegistry.port("union_a").getOrElse(
+        throw new java.io.IOException("a not up")),
+      "secret", "app", "wA", 10L, "sa", sa)
+    val cb = new AtLeastOnceClient("localhost",
+      () => ConnectorRegistry.port("union_b").getOrElse(
+        throw new java.io.IOException("b not up")),
+      "secret", "app", "wB", 20L, "sb", sb)
+    try {
+      val ta = ca.runInBackground(); val tb = cb.runInBackground()
+      ta.join(60000); tb.join(60000)
+      // both senders got their final acks — i.e. BOTH sources' durable-ack
+      // flushers found their own line in the shared offset log
+      assert(!ta.isAlive && !tb.isAlive, "a union'd sender missed its final ack")
+      assert(sa.ackedPor.get == 200L && sb.ackedPor.get == 200L)
+      q.processAllAvailable()
+      val got = Delivered.snapshot().groupBy(_._1)
+      assert(got(10L).map(_._2).toSet == (1L to 200L).toSet)
+      assert(got(20L).map(_._2).toSet == (1L to 200L).toSet)
+      // each source persisted only ITS stream's por
+      def pors(idx: Int) = ConnectorOffset.parse(new String(Files.readAllBytes(
+        Paths.get(ckpt, "sources", idx.toString, "graft-connector-por.json")),
+        StandardCharsets.UTF_8)).pors
+      assert(pors(0) == scala.collection.immutable.SortedMap(10L -> 200L))
+      assert(pors(1) == scala.collection.immutable.SortedMap(20L -> 200L))
+    } finally {
+      ca.stopped.set(true); cb.stopped.set(true); q.stop()
+    }
+  }
+
   test("bad cookie is rejected with an Error frame") {
     val ckpt = Files.createTempDirectory("connector_ckpt2").toString
     val q = startQuery(ckpt, "cookie_test")
