@@ -183,9 +183,78 @@ def test_stream_stateless_and_count_windows():
     print("ok streaming count windows (%d emissions)" % (len(got),))
 
 
+def test_stream_range_windows():
+    """Event-time range windows in stream mode: the queue's event_time
+    field drives window assignment across polls; open windows flush at
+    end of stream with the same totals as a batch replay."""
+    landing = tempfile.mkdtemp(prefix="graft_stream_rw_")
+
+    @graft.computation(name="parse")
+    def parse(s):
+        return int(s)
+
+    @graft.key_extractor
+    def one_key(v):
+        return "k"
+
+    class SumAgg(graft.Aggregation):
+        def initial_accumulator(self):
+            return [0]
+
+        def update(self, v, acc):
+            acc[0] += v
+
+        def combine(self, a, b):
+            return [a[0] + b[0]]
+
+        def output(self, key, acc):
+            return acc[0]
+
+    pipeline = (graft.source(
+            "vals", graft.DirectoryQueueSourceConfig("vals", landing))
+        .to(parse)
+        .key_by(one_key)
+        .to(graft.range_windows(graft.seconds(10)).over(SumAgg))
+        .to_sink(graft.MemorySinkConfig()))
+    app = graft.build_application("Range Windows Stream", pipeline)
+
+    done = threading.Event()
+    result = {}
+
+    def run():
+        result["sinks"] = app.run_stream(
+            poll_interval=0.05, stop=done.is_set, idle_polls=None)
+
+    runner = threading.Thread(target=run, daemon=True)
+    runner.start()
+
+    conn = experimental.SourceConnector(
+        args=["--connector", "vals"], landing_dir=landing,
+        flush_every=10 ** 9)
+    conn.connect()
+    # value i at event time i seconds, landed in three separate polls:
+    # tumbling 10s windows [0,10) [10,20) [20,30)
+    for lo in (0, 10, 20):
+        for v in range(lo, lo + 10):
+            conn.write(str(v), event_time=graft.seconds(v))
+        conn.flush()
+        time.sleep(0.2)
+    conn.close()
+    time.sleep(1.5)
+    done.set()
+    runner.join(30)
+    assert not runner.is_alive()
+
+    got = sorted(result["sinks"][0])
+    want = sorted(sum(range(lo, lo + 10)) for lo in (0, 10, 20))
+    assert got == want, (got, want)
+    print("ok streaming range windows (%r)" % (got,))
+
+
 def main():
     test_word_count_stream()
     test_stream_stateless_and_count_windows()
+    test_stream_range_windows()
     print("ALL PYTHON STREAMING TESTS PASSED")
 
 

@@ -297,6 +297,63 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("replay timeout: a restart with no sender fails loud, not silent") {
+    // at-least-once has a failure contract too: if a query restarts with
+    // an uncommitted WAL batch and NO sender reconnects to re-send the
+    // tail, the batch must fail with the protocol's explanation — never
+    // hang forever or fabricate an empty batch (silent data loss)
+    val ckpt = Files.createTempDirectory("connector_ckpt6").toString
+    Delivered.rows.clear()
+    def start(timeoutMs: Int) = spark.readStream.format("graft-connector")
+      .option("port", "0").option("name", "timeout_test")
+      .option("cookie", "secret")
+      .option("replayTimeoutMs", timeoutMs.toString)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          Delivered.rows.add((r.getLong(0), r.getLong(1), ""))
+        }
+      }
+      .start()
+    val source = new SeqSource((1 to 400).map(i => s"t-$i".getBytes)) {
+      override def next(): Option[(Array[Byte], Long)] = {
+        Thread.sleep(2); super.next()
+      }
+    }
+    val client = new AtLeastOnceClient("localhost",
+      () => ConnectorRegistry.port("timeout_test").getOrElse(
+        throw new java.io.IOException("not up")),
+      "secret", "app", "w1", 5L, "s5", source)
+    val q1 = start(timeoutMs = 60000)
+    val t = client.runInBackground()
+    try {
+      // wait until a batch is in-flight (WAL written) with data delivered
+      val deadline = System.currentTimeMillis + 30000
+      while (Delivered.rows.size < 50 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(Delivered.rows.size >= 50)
+      q1.stop()
+      client.stopped.set(true) // the sender is GONE for good
+      t.join(5000)
+
+      val q2 = start(timeoutMs = 2000)
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+          .mkString(" | ")
+        assert(msgs.contains("re-send") || msgs.contains("replay"),
+          s"want the replay-contract error, got: $msgs")
+      } finally q2.stop()
+    } finally {
+      client.stopped.set(true)
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("bad cookie is rejected with an Error frame") {
     val ckpt = Files.createTempDirectory("connector_ckpt2").toString
     val q = startQuery(ckpt, "cookie_test")
