@@ -144,8 +144,57 @@ def test_python_sender_to_scala_engine():
             engine.kill()
 
 
+def test_sender_resumes_at_engine_por():
+    """Resume contract, sender side: when the engine's NotifyAck carries
+    por=100 (it already processed 100), the sender must reset there and
+    send ONLY the tail 101..200 — verified against a pure-Python mock
+    engine speaking the same frames."""
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    got = {"messages": [], "eos": False}
+
+    def engine():
+        conn, _ = server.accept()
+        hello = wire.read_frame(conn)
+        assert isinstance(hello, wire.Hello) and hello.cookie == "ck"
+        conn.sendall(wire.encode(wire.Ok(1 << 16)))
+        notify = wire.read_frame(conn)
+        assert isinstance(notify, wire.Notify)
+        conn.sendall(wire.encode(wire.NotifyAck(True, notify.stream_id, 100)))
+        last = 100
+        while True:
+            msg = wire.read_frame(conn)
+            if msg is None:
+                break
+            if isinstance(msg, wire.Message):
+                got["messages"].append(
+                    (msg.message_id, msg.payload.decode()))
+                last = msg.message_id
+            elif isinstance(msg, wire.Eos):
+                got["eos"] = True
+                conn.sendall(wire.encode(wire.Ack(0, [(msg.stream_id, last)])))
+        conn.close()
+
+    t = threading.Thread(target=engine, daemon=True)
+    t.start()
+    source = ListSource(["r-%d" % i for i in range(1, 201)])
+    sender = wire.TcpAtLeastOnceSender("127.0.0.1", port, cookie="ck")
+    sender.join(source, stream_id=4, stream_name="resume")
+    server.close()
+
+    assert source.resets == [100], source.resets
+    ids = [mid for mid, _ in got["messages"]]
+    assert ids == list(range(101, 201)), (ids[:3], ids[-3:], len(ids))
+    assert got["messages"][0] == (101, "r-101")
+    assert got["eos"] and source.acked_por == 200
+    print("ok python sender resumes at the engine's por (tail-only)")
+
+
 def main():
     test_codec_roundtrip()
+    test_sender_resumes_at_engine_por()
     test_python_sender_to_scala_engine()
     print("ALL PYTHON WIRE TESTS PASSED")
 
