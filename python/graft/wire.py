@@ -143,7 +143,10 @@ def _read_exact(sock, n):
     while len(buf) < n:
         chunk = sock.recv(n - len(buf))
         if not chunk:
-            return None if not buf else None
+            if buf:
+                # partial bytes then EOF is a TORN frame, not a clean close
+                raise IOError("EOF mid-frame (%d of %d bytes)" % (len(buf), n))
+            return None
         buf += chunk
     return buf
 
@@ -185,6 +188,12 @@ class TcpAtLeastOnceSender(object):
                 while True:
                     msg = read_frame(sock)
                     if msg is None:
+                        # peer closed: the session is over either way, so
+                        # wake the send loop instead of letting it stall
+                        # until the credit timeout
+                        with cond:
+                            state["restart"] = True
+                            cond.notify_all()
                         break
                     with cond:
                         if isinstance(msg, Ok):

@@ -192,8 +192,45 @@ def test_sender_resumes_at_engine_por():
     print("ok python sender resumes at the engine's por (tail-only)")
 
 
+def test_torn_frame_raises():
+    # EOF exactly at a frame boundary is a clean close (None); EOF after
+    # PARTIAL header or body bytes is a torn frame and must raise, not
+    # masquerade as clean EOF (ADVICE r5: a torn header used to return
+    # None and stall the sender until the credit timeout).
+    def serve(payload):
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+
+        def run():
+            conn, _ = srv.accept()
+            conn.sendall(payload)
+            conn.close()
+        threading.Thread(target=run, daemon=True).start()
+        c = socket.create_connection(srv.getsockname())
+        return srv, c
+
+    whole = wire.encode(wire.Ok(5))
+    srv, c = serve(whole)
+    assert wire.read_frame(c) == wire.Ok(5)
+    assert wire.read_frame(c) is None  # boundary EOF → clean close
+    srv.close(); c.close()
+
+    for cut in (2, len(whole) - 1):  # mid-header and mid-body
+        srv, c = serve(whole[:cut])
+        try:
+            wire.read_frame(c)
+        except IOError:
+            pass
+        else:
+            raise AssertionError("torn frame (cut=%d) did not raise" % cut)
+        srv.close(); c.close()
+    print("ok torn frames raise; boundary EOF is clean")
+
+
 def main():
     test_codec_roundtrip()
+    test_torn_frame_raises()
     test_sender_resumes_at_engine_por()
     test_python_sender_to_scala_engine()
     print("ALL PYTHON WIRE TESTS PASSED")

@@ -11,17 +11,27 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
     // steady-state guard: a busy box (other tenants) inflates every wall
-    // time 1.5-7x. If the 1-minute load average is high at start, wait once
-    // for the box to drain before timing; record both readings so a still-
-    // noisy run is self-describing rather than silently polluted.
-    def load1(): Double =
-      try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    // time 1.5-7x. Gate on the MAX of the 1-min and 5-min averages — round
+    // 5's artifact passed a 0.70 1-min reading while the 5-min said 2.02
+    // and the load came back mid-run. A high 5-min average drains slowly,
+    // so poll in 30s steps (bounded) instead of one fixed sleep; record
+    // both readings so a still-noisy run is self-describing rather than
+    // silently polluted.
+    def loadMax(): Double =
+      try {
+        val f = loadavg().split(" ")
+        math.max(f(0).toDouble, f(1).toDouble)
+      } catch { case _: Throwable => 0.0 }
     val loadGate =
       sys.env.getOrElse("SPARK_GRAFT_LOADAVG_GATE", "2.0").toDouble
-    val loadWaited = load1() > loadGate
+    val loadWaited = loadMax() > loadGate
     if (loadWaited) {
-      System.err.println(s"[bench] loadavg ${load1()} > $loadGate; waiting 90s for box to drain")
-      Thread.sleep(90000)
+      val deadline = System.currentTimeMillis + 300000L
+      while (loadMax() > loadGate && System.currentTimeMillis < deadline) {
+        System.err.println(
+          s"[bench] loadavg max(1m,5m)=${loadMax()} > $loadGate; waiting 30s for box to drain")
+        Thread.sleep(30000)
+      }
     }
     val loadStart = loadavg()
     val spark = GraftSession.configure(SparkSession.builder()
@@ -55,21 +65,76 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          ((System.nanoTime() - t0) / 1e9, Some(e.getClass.getSimpleName))
+      }
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var r = 0
       while (r < repeat && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); () } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            err = Some(e.getClass.getSimpleName)
-        }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val (t, e) = timeOnce(name, fn)
+        err = e
+        best = math.min(best, t)
         r += 1
       }
       (name, best, err)
+    }
+    // Contention back-stop (the gate can't see load that ARRIVES mid-run):
+    // any query whose min-of-N exceeds 3x its entry in the committed
+    // BENCH_FULL.json — the last idle-box map at the SAME sf — gets ONE
+    // sequential re-time now, at run end, when a transient load spike has
+    // had the whole run to pass. Keep the better time; list the names in
+    // a `retimed` field so the artifact says which numbers were recovered.
+    val committed: Map[String, Double] =
+      try {
+        // the literal committed map (each run overwrites the working-tree
+        // file, and a polluted overwrite would weaken the next run's 3x
+        // threshold); fall back to the working tree outside a git checkout
+        val txt =
+          try scala.sys.process.Process(
+            Seq("git", "show", "HEAD:BENCH_FULL.json")).!!
+          catch {
+            case _: Throwable =>
+              new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+          }
+        val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
+        val qi = txt.indexOf("\"queries\":{")
+        if (!sameSf || qi < 0) Map.empty
+        else {
+          val start = qi + "\"queries\":{".length
+          val body = txt.substring(start, txt.indexOf("}", start))
+          body.split(",").iterator.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                v.toDoubleOption.filter(_ > 0)
+                  .map(d => (k.replace("\"", ""), d))
+              case _ => None
+            }
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val retimedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = firstPass.map { case (name, best, err) =>
+      committed.get(name) match {
+        case Some(c) if err.isEmpty && best > 3.0 * c && best > 0.5 =>
+          val (again, e2) = timeOnce(name, selected(name))
+          if (e2.isEmpty && again < best) {
+            System.err.println(
+              f"[bench] retimed $name: $best%.3f -> $again%.3f (committed $c%.3f)")
+            retimedNames += name
+            (name, again, err)
+          } else (name, best, err)
+        case _ => (name, best, err)
+      }
     }
     // a failed query reports -1 (never a fake-fast wall time) + an errors row
     def fmt(v: Double): String = f"$v%.3f"
@@ -90,9 +155,12 @@ object Bench {
     // and the line becomes unparseable. Print a compact line (summary stats
     // + the slowest queries, greedily while it still fits) and dump the
     // complete per-query map to BENCH_FULL.json in the repo root.
+    val retimedJson =
+      retimedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env =
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
-      s""""cpus":$cpus,"repeat":$repeat,"load_waited":$loadWaited"""
+      s""""cpus":$cpus,"repeat":$repeat,"load_waited":$loadWaited,""" +
+      s""""retimed":$retimedJson"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},$env,""" +

@@ -40,7 +40,10 @@ object Graph {
     * copy; the arrays are ~16 B/edge.
     */
   private[graft] def collectEdgePairs(e: DataFrame): (Array[Long], Array[Long]) = {
-    val rows = e.collect()
+    // Callers pass whatever integral type the id columns carry (int edge
+    // ids are common); getLong on an IntegerType row slot throws, so
+    // normalize to long here rather than at every entry point.
+    val rows = e.select(e.columns.map(c => col(c).cast("long")): _*).collect()
     val n = rows.length
     val src = new Array[Long](n)
     val dst = new Array[Long](n)

@@ -152,6 +152,30 @@ object Similarity {
       .map(_.toArray)
   }
 
+  /** Bound the driver footprint of a multi-chunk scan: run each chunk's
+    * job to completion (its result is ≤ queries×k rows — pinned via
+    * localCheckpoint), destroy that chunk's query broadcast, and only
+    * then build the next chunk. Peak driver+broadcast memory is one
+    * chunk, not the whole query set. The single-chunk (queries≪corpus)
+    * case stays fully lazy — no checkpoint, no eager job.
+    */
+  private def boundedChunkUnion(
+      chunks: Iterator[(DataFrame, org.apache.spark.broadcast.Broadcast[_])],
+      what: String): DataFrame = {
+    require(chunks.hasNext, s"$what: no query vectors")
+    val (firstDf, firstBc) = chunks.next()
+    if (!chunks.hasNext) firstDf
+    else {
+      val pinned = (Iterator((firstDf, firstBc)) ++ chunks).map {
+        case (df, bc) =>
+          val p = df.localCheckpoint(true)
+          bc.destroy()
+          p
+      }.toList
+      pinned.reduce(_ union _)
+    }
+  }
+
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
       qLabelCol: String, k: Int, chunkSize: Int = 8192): DataFrame = {
@@ -161,14 +185,13 @@ object Similarity {
       .map(_.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
         .sortBy(_._1))
       .map(hardNegativesChunk(emb, idCol, vecCol, labelCol, _, k))
-      .toSeq
-    require(chunks.nonEmpty, "hardNegatives: no query vectors")
-    chunks.reduce(_ union _)
+    boundedChunkUnion(chunks, "hardNegatives")
   }
 
   private def hardNegativesChunk(emb: DataFrame, idCol: String,
       vecCol: String, labelCol: String,
-      qs: Array[(Long, Array[Float], Long)], k: Int): DataFrame = {
+      qs: Array[(Long, Array[Float], Long)],
+      k: Int): (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
@@ -222,9 +245,9 @@ object Similarity {
     val top = partials.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
-    emb.select(col(idCol), col(labelCol))
+    (emb.select(col(idCol), col(labelCol))
       .join(org.apache.spark.sql.functions.broadcast(top), idCol)
-      .select(col("query_id"), col(idCol), col(labelCol), col("cos"))
+      .select(col("query_id"), col(idCol), col(labelCol), col("cos")), bc)
   }
 
   /** Exact k-NN JOIN: for every query vector (a small broadcast side — the
@@ -242,14 +265,12 @@ object Similarity {
       Seq(col(qIdCol).cast("long"), col(qVecCol)), chunkSize)
       .map(_.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1))
       .map(knnJoinChunk(emb, idCol, vecCol, _, k, excludeSelf))
-      .toSeq
-    require(chunks.nonEmpty, "knnJoin: no query vectors")
-    chunks.reduce(_ union _)
+    boundedChunkUnion(chunks, "knnJoin")
   }
 
   private def knnJoinChunk(emb: DataFrame, idCol: String, vecCol: String,
       qs: Array[(Long, Array[Float])], k: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean): (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
@@ -301,9 +322,9 @@ object Similarity {
       .toDF("query_id", idCol, "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col(idCol))
-    partials.withColumn("_rn", row_number().over(w))
+    (partials.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
-      .drop("_rn")
+      .drop("_rn"), bc)
   }
 
   /** IVF top-k: probe only the `nprobe` buckets whose centroids are closest

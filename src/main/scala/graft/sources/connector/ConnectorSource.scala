@@ -65,6 +65,11 @@ class ConnectorSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 object ConnectorSource {
+  /** Warn-once latch for [[ConnectorMicroBatchStream.flushDurableAcks]]'s
+    * offset-log parse fallback. */
+  private[connector] val warnedOffsetLogParse =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** One row per protocol Message, positions included so downstream logic
     * can key, dedup, or order on them exactly like the reference's
     * decoder sees (stream_id, message_id, event_time, key, payload).
@@ -219,7 +224,19 @@ final class ConnectorMicroBatchStream(options: CaseInsensitiveStringMap,
         if (line.startsWith("{")) ackPors(ConnectorOffset.parse(line).pors)
       }
       lastFlushedCommit = maxBatch
-    } catch { case _: Exception => () }
+    } catch {
+      case e: Exception =>
+        // Best-effort by design, but never SILENTLY so: this parses Spark's
+        // internal offset-log layout, and if a Spark upgrade changes it the
+        // early-ack path degrades to commit()-only (idle streams then wait
+        // for the next batch's commit callback). Say it once.
+        if (!ConnectorSource.warnedOffsetLogParse.getAndSet(true))
+          System.err.println(
+            "graft-connector: early-ack offset-log parse failed (" + e +
+              "); falling back to commit()-callback acks only. The " +
+              "checkpoint offset-log layout may have changed in this " +
+              "Spark version — see ConnectorOffsetLogLayoutSpec.")
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

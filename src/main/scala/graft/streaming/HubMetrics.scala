@@ -81,9 +81,14 @@ object HubProtocol {
     val c = category.getBytes(StandardCharsets.UTF_8)
     val w = worker.getBytes(StandardCharsets.UTF_8)
     val p = pipeline.getBytes(StandardCharsets.UTF_8)
-    // header size field mirrors the reference encoder's arithmetic
+    // Byte-exact parity with the reference encoder's size field
+    // (hub_protocol.pony:107-108): the fixed tail is written as `64 * 11`
+    // = 704 there, NOT the actual byte count (65*8 bins + 4*8 = 552+32).
+    // Reference and graft decoders both ignore this field, but a strict
+    // consumer validating sizes against reference-encoded frames sees
+    // identical bytes this way.
     o.writeInt(4 + 4 + 4 + 4 + 2 + n.length + c.length + w.length +
-      p.length + 65 * 8 + 4 * 8)
+      p.length + 64 * 11)
     o.writeInt(n.length); o.write(n)
     o.writeInt(c.length); o.write(c)
     o.writeInt(w.length); o.write(w)

@@ -47,8 +47,15 @@ class HubMetricsSpec extends AnyFunSuite {
     val dataSize = in.readInt()
     val data = new Array[Byte](dataSize); in.readFully(data)
     val d = new DataInputStream(new java.io.ByteArrayInputStream(data))
-    val headerSize = d.readInt() // read-and-checked like the pony decoder
-    assert(headerSize == dataSize - 4, s"header size field $headerSize vs $dataSize")
+    // The pony encoder writes the fixed histogram tail of the size field
+    // as 64*11 = 704 (hub_protocol.pony:107-108) while actually emitting
+    // 65*8 bins + 4*8 trailers = 552 bytes; its decoder ignores the
+    // field. We mirror the reference bytes exactly, so check for THAT
+    // arithmetic: headerSize overshoots the real payload (dataSize - 4)
+    // by exactly 704 - 552 = 152.
+    val headerSize = d.readInt()
+    assert(headerSize == dataSize - 4 + 152,
+      s"header size field $headerSize vs $dataSize")
     val rec = MetricsRec(str(d), str(d), str(d), str(d),
       d.readUnsignedShort(), Seq.fill(65)(d.readLong()),
       d.readLong(), d.readLong(), d.readLong(), d.readLong())

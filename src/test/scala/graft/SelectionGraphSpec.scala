@@ -65,6 +65,26 @@ class SelectionGraphSpec extends AnyFunSuite {
       pairMap(Graph.bfsLevelsShuffle(undSym, srcs, 3)))
   }
 
+  test("int-typed edge id columns work on the local (<= EdgeGate) paths") {
+    import spark.implicits._
+    // ids as plain Int: collectEdgePairs must upcast rather than throw
+    // ClassCastException on Row.getLong (ADVICE r5)
+    val edgesInt = Seq((1, 2), (2, 3), (3, 1), (2, 4)).toDF("s", "d")
+    val pr = Graph.pageRank(edgesInt, "s", "d", 2).collect()
+    assert(pr.nonEmpty)
+    val prLong = Graph.pageRank(
+      edgesInt.select($"s".cast("long"), $"d".cast("long")), "s", "d", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.map(r => r.getLong(0) -> r.getLong(1)).toMap == prLong)
+    assert(Graph.labelPropagation(edgesInt, "s", "d", 2).count() > 0)
+    // the local helpers take the already-shaped edge list; int ids must
+    // survive collectEdgePairs there too
+    val undInt = edgesInt.select(least($"s", $"d").as("src"),
+      greatest($"s", $"d").as("dst")).distinct()
+    assert(Graph.bfsLevelsLocal(undInt, 3).count() > 0)
+    assert(Graph.countTrianglesLocal(undInt)._2 == 1L) // (nNodes, nTriangles)
+  }
+
   test("triangle counters agree: local fast path vs shuffle joins vs brute force") {
     import spark.implicits._
     // random undirected graph on 60 nodes (u < v, distinct)
