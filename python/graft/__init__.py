@@ -797,6 +797,37 @@ class Application(object):
         self._stream_flush(stages, state, window_acc, sinks)
         return sinks
 
+    def run_stream_tcp(self, host, port, stream_id=1, stream_name=None,
+                       cookie="", event_time=0, throttle_s=0.0):
+        """Feed the app's streaming source into a SCALA engine over the
+        LIVE connector socket (`spark.readStream.format("graft-connector")`)
+        with at-least-once resume — the machida topology where the python
+        process is the source connector and the distributed engine runs
+        the pipeline. The source must be a [[DirectoryQueueSourceConfig]]
+        (the replayable boundary); its landing dir is wrapped in a
+        `graft.experimental.DirectoryQueueSource` whose por is the global
+        message index, so a killed sender re-Notifies and re-sends only
+        past the engine's acked position. Returns (sent, final_por).
+        """
+        from .experimental import DirectoryQueueSource
+        from .wire import TcpAtLeastOnceSender
+        stages = self._stages
+        if stages[0][0] != "source":
+            raise GraftParameterError("pipeline must start with source()")
+        cfg = stages[0][2]
+        if not isinstance(cfg, DirectoryQueueSourceConfig):
+            raise GraftParameterError(
+                "run_stream_tcp needs a DirectoryQueueSourceConfig source "
+                "(the replayable landing-dir boundary)")
+        name = stream_name or cfg.name
+        source = DirectoryQueueSource(cfg.landing_dir, name=name,
+                                      throttle_s=throttle_s)
+        sender = TcpAtLeastOnceSender(host, int(port), cookie=cookie,
+                                      program=self.name, instance=name)
+        sender.join(source, stream_id=stream_id, stream_name=name,
+                    event_time=event_time)
+        return (sender.sent, source.acked_por)
+
     def _stream_batch(self, batch, stages, state, window_acc, sinks):
         """One micro-batch through the stage list. Messages ride as
         (key, event_time, value) triples; key is None until key_by."""
@@ -1009,3 +1040,50 @@ def tcp_parse_output_addrs(args):
     parser.add_argument("-o", "--out", dest="output_addrs", required=True)
     addrs = parser.parse_known_args(args)[0].output_addrs
     return [tuple(x.split(":")) for x in addrs.split(",")]
+
+
+def _kafka_parse_broker(broker):
+    """`host[:port]` -> (host, port); port defaults to 9092."""
+    host_and_port = broker.split(":")
+    host = host_and_port[0]
+    port = "9092"
+    if len(host_and_port) == 2:
+        port = host_and_port[1]
+    return (host, port)
+
+
+def kafka_parse_source_options(args):
+    """Reference `--kafka_source_*` argv -> (name, topic, brokers,
+    log_level), brokers as [(host, port), ...]."""
+    import argparse
+    parser = argparse.ArgumentParser(prog="graft")
+    parser.add_argument("--kafka_source_name", dest="name")
+    parser.add_argument("--kafka_source_topic", dest="topic", default="")
+    parser.add_argument("--kafka_source_brokers", dest="brokers", default="")
+    parser.add_argument("--kafka_source_log_level", dest="log_level",
+                        default="Warn",
+                        choices=["Fine", "Info", "Warn", "Error"])
+    known = parser.parse_known_args(args)[0]
+    brokers = [_kafka_parse_broker(b) for b in known.brokers.split(",")]
+    return (known.name, known.topic, brokers, known.log_level)
+
+
+def kafka_parse_sink_options(args):
+    """Reference `--kafka_sink_*` argv -> (name, topic, brokers, log_level,
+    max_produce_buffer_ms, max_message_size); name is "" pending named
+    sinks, exactly like the reference."""
+    import argparse
+    parser = argparse.ArgumentParser(prog="graft")
+    parser.add_argument("--kafka_sink_topic", dest="topic", default="")
+    parser.add_argument("--kafka_sink_brokers", dest="brokers", default="")
+    parser.add_argument("--kafka_sink_log_level", dest="log_level",
+                        default="Warn",
+                        choices=["Fine", "Info", "Warn", "Error"])
+    parser.add_argument("--kafka_sink_max_produce_buffer_ms",
+                        dest="max_produce_buffer_ms", type=int, default=0)
+    parser.add_argument("--kafka_sink_max_message_size",
+                        dest="max_message_size", type=int, default=100000)
+    known = parser.parse_known_args(args)[0]
+    brokers = [_kafka_parse_broker(b) for b in known.brokers.split(",")]
+    return ("", known.topic, brokers, known.log_level,
+            known.max_produce_buffer_ms, known.max_message_size)

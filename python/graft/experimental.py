@@ -262,3 +262,252 @@ class SinkConnector(object):
             c.close()
         if self._acceptor:
             self._acceptor.close()
+
+
+class TwoPCSinkConnector(object):
+    """Exactly-once sink server: the external half of the connector-sink
+    2PC protocol (the reference's aloc_sink source of truth,
+    testing/correctness/tests/aloc_sink/aloc_sink_impl.py, with the
+    pony_connector_sink's state machine). The ENGINE is the TCP client;
+    this process appends its stream-1 bytes to ``out_path`` and votes on
+    each ``TwoPCPhase1``:
+
+    * phase 1 must name ``[start, end)`` with start == the last committed
+      offset and end <= the current file tell; the vote and the output are
+      fsync'd BEFORE the ``TwoPCReply`` ships;
+    * phase 2 commit advances the committed offset; abort truncates the
+      file back to start;
+    * on (re)connect the txn log replays: a pending phase1-ok txn keeps
+      its bytes (awaiting the engine's recovery decision), anything else
+      truncates to the committed offset; ``ListUncommitted`` reports the
+      pending txns so the engine can resolve them.
+
+    Committed output is therefore exactly the byte ranges the engine
+    confirmed — kill either process mid-transaction and the replay
+    converges with no duplicates and no loss.
+
+    The txn log (``out_path + ".txnlog"``) is JSON lines in the aloc
+    format: ``[ts, "1-ok"|"1-rollback", txn_id, where_list]`` and
+    ``[ts, "2-ok"|"2-rollback", txn_id, offset]``.
+    """
+
+    def __init__(self, out_path, host="127.0.0.1", port=0, cookie=""):
+        self.out_path = out_path
+        self.txnlog_path = out_path + ".txnlog"
+        self.host, self.cookie = host, cookie
+        self._port = port
+        self._acceptor = None
+        # fault injection for tests
+        self.abort_next = False
+        self.drop_after_phase1 = False
+
+    def listen(self):
+        acceptor = socket.socket()
+        acceptor.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        acceptor.bind((self.host, self._port))
+        acceptor.listen(2)
+        self._acceptor = acceptor
+
+    @property
+    def port(self):
+        return self._acceptor.getsockname()[1]
+
+    # --- durable state -----------------------------------------------------
+
+    def _load(self):
+        """Replay the txn log: (last_committed, {txn: (ok, start, end)})."""
+        last_committed, txn_state = 0, {}
+        if os.path.exists(self.txnlog_path):
+            with open(self.txnlog_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    entry = json.loads(line)
+                    tag, txn = entry[1], entry[2]
+                    if tag in ("1-ok", "1-rollback"):
+                        (sid, start, end) = entry[3][0]
+                        txn_state[txn] = (tag == "1-ok", start, end)
+                    elif tag in ("2-ok", "2-rollback"):
+                        if tag == "2-ok":
+                            last_committed = max(last_committed, entry[3])
+                        txn_state.pop(txn, None)
+        return last_committed, txn_state
+
+    def _log(self, entry):
+        import time
+        with open(self.txnlog_path, "a") as f:
+            f.write(json.dumps([time.time()] + entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _truncate(self, offset):
+        with open(self.out_path, "ab") as f:
+            f.truncate(offset)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def committed_output(self):
+        last_committed, _ = self._load()
+        if not os.path.exists(self.out_path):
+            return b""
+        with open(self.out_path, "rb") as f:
+            return f.read()[:last_committed]
+
+    # --- protocol ----------------------------------------------------------
+
+    def serve_one_session(self, timeout=None):
+        """Accept ONE engine connection and serve it to EOF. Returns after
+        the engine disconnects (call again for the next session)."""
+        from . import wire
+        if timeout is not None:
+            self._acceptor.settimeout(timeout)
+        conn, _ = self._acceptor.accept()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            self._serve(conn, wire)
+        except (IOError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _serve(self, conn, wire):
+        if not os.path.exists(self.out_path):
+            open(self.out_path, "wb").close()
+        last_committed, txn_state = self._load()
+        # reconnect truncation (aloc_sink_impl.py:322-344): keep a pending
+        # phase1-ok txn's bytes; drop any un-voted tail
+        keep_to = last_committed
+        for (ok, start, end) in txn_state.values():
+            if ok:
+                keep_to = max(keep_to, end)
+        self._truncate(keep_to)
+        out = open(self.out_path, "r+b")
+        out.seek(0, os.SEEK_END)
+        try:
+            while True:
+                msg = wire.read_frame(conn)
+                if msg is None:
+                    return
+                if isinstance(msg, wire.Hello):
+                    if self.cookie and msg.cookie != self.cookie:
+                        conn.sendall(wire.encode(wire.Error("bad cookie")))
+                        return
+                    conn.sendall(wire.encode(wire.Ok(500)))
+                elif isinstance(msg, wire.Notify):
+                    conn.sendall(wire.encode(wire.NotifyAck(
+                        True, msg.stream_id, last_committed)))
+                elif isinstance(msg, wire.Eos):
+                    conn.sendall(wire.encode(wire.Ack(
+                        1, [(msg.stream_id, last_committed)])))
+                elif isinstance(msg, wire.Message) and msg.stream_id != 0:
+                    if msg.message_id != out.tell():
+                        conn.sendall(wire.encode(wire.Error(
+                            "offset gap: message_id %d != tell %d"
+                            % (msg.message_id, out.tell()))))
+                        return
+                    out.write(msg.payload or b"")
+                elif isinstance(msg, wire.Message):
+                    inner = wire.twopc_unwrap(msg)
+                    if isinstance(inner, wire.ListUncommitted):
+                        conn.sendall(wire.encode(wire.twopc_carrier(
+                            wire.ReplyUncommitted(inner.rtag,
+                                                  sorted(txn_state)))))
+                    elif isinstance(inner, wire.TwoPCPhase1):
+                        (sid, start, end) = inner.where_list[0]
+                        out.flush()
+                        os.fsync(out.fileno())
+                        ok = (sid == 1 and start == last_committed and
+                              start <= end and end <= out.tell() and
+                              not self.abort_next)
+                        self.abort_next = False
+                        txn_state[inner.txn_id] = (ok, start, end)
+                        self._log(["1-ok" if ok else "1-rollback",
+                                   inner.txn_id, [[sid, start, end]]])
+                        conn.sendall(wire.encode(wire.twopc_carrier(
+                            wire.TwoPCReply(inner.txn_id, ok))))
+                        if self.drop_after_phase1:
+                            self.drop_after_phase1 = False
+                            return
+                    elif isinstance(inner, wire.TwoPCPhase2):
+                        if inner.txn_id in txn_state:
+                            (_, start, end) = txn_state.pop(inner.txn_id)
+                            if inner.commit:
+                                last_committed = end
+                                self._log(["2-ok", inner.txn_id, end])
+                            else:
+                                out.flush()
+                                self._truncate(start)
+                                out.seek(start)
+                                self._log(["2-rollback", inner.txn_id, start])
+                        # unknown txn: already resolved — ignore (aloc:566)
+                    else:
+                        conn.sendall(wire.encode(wire.Error(
+                            "bad stream-0 message: %r" % (inner,))))
+                        return
+        finally:
+            out.flush()
+            os.fsync(out.fileno())
+            out.close()
+
+
+class DirectoryQueueSource(BaseSource):
+    """Replayable [[BaseSource]] over the landing directory the
+    SourceConnector writes (`land_*.jsonl` in sequence order): the point
+    of reference is the GLOBAL message index from the start of the queue,
+    so `reset(pos)` seeks by skipping `pos` messages — the engine's
+    NotifyAck por maps directly onto it and a killed sender re-sends only
+    the unacked tail. Iteration covers the files present at reset time
+    plus any that land while draining (sorted by sequence number); it
+    raises StopIteration at the current end of queue.
+    """
+
+    def __init__(self, landing_dir, name="dirqueue", throttle_s=0.0):
+        self.landing_dir = landing_dir
+        self.name = name
+        self.throttle_s = throttle_s  # per-message pacing (giles-style)
+        self._values = []
+        self._pos = 0
+        self._loaded = set()
+        self.acked_por = -1
+
+    def __str__(self):
+        return self.name
+
+    def _seq(self, fname):
+        return int(fname[len("land_"):-len(".jsonl")])
+
+    def _load_tail(self):
+        names = sorted(
+            (f for f in os.listdir(self.landing_dir)
+             if f.startswith("land_") and f.endswith(".jsonl")
+             and f not in self._loaded),
+            key=self._seq)
+        for f in names:
+            with open(os.path.join(self.landing_dir, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._values.append(json.loads(line)["value"])
+            self._loaded.add(f)
+
+    def reset(self, pos=0):
+        self._load_tail()
+        self._pos = int(pos)
+
+    def point_of_ref(self):
+        return self._pos
+
+    def __next__(self):
+        if self._pos >= len(self._values):
+            self._load_tail()
+        if self._pos >= len(self._values):
+            raise StopIteration
+        if self.throttle_s:
+            import time
+            time.sleep(self.throttle_s)
+        value = self._values[self._pos]
+        self._pos += 1
+        return (value, self._pos)
+
+    def acked(self, point_of_ref):
+        self.acked_por = point_of_ref

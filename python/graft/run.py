@@ -25,6 +25,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="graft.run")
     parser.add_argument("--application-module", required=True)
     parser.add_argument("--stream", action="store_true")
+    parser.add_argument("--stream-tcp", metavar="HOST:PORT",
+                        help="feed the app's source into a live Scala "
+                        "graft-connector listener (at-least-once resume)")
+    parser.add_argument("--cookie", default="")
+    parser.add_argument("--throttle", type=float, default=0.0,
+                        help="per-message pacing for --stream-tcp (seconds)")
     parser.add_argument("--idle-polls", type=int, default=None)
     parser.add_argument("--poll-interval", type=float, default=0.25)
     known, app_args = parser.parse_known_args(argv)
@@ -37,7 +43,12 @@ def main(argv=None):
             "contract" % (known.application_module,))
     app = module.application_setup(app_args)
 
-    if known.stream:
+    if known.stream_tcp:
+        host, port = known.stream_tcp.rsplit(":", 1)
+        sent, por = app.run_stream_tcp(host, int(port), cookie=known.cookie,
+                                       throttle_s=known.throttle)
+        print("STREAM_TCP_DONE sent=%d acked_por=%d" % (sent, por))
+    elif known.stream:
         sinks = app.run_stream(idle_polls=known.idle_polls,
                                poll_interval=known.poll_interval)
         for i, sink in enumerate(sinks):

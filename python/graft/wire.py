@@ -33,6 +33,75 @@ Eos = namedtuple("Eos", "stream_id")
 _TAGS = {Hello: 0, Ok: 1, Error: 2, Notify: 3, NotifyAck: 4, Message: 5,
          Ack: 6, Restart: 7, Eos: 8}
 
+# --- 2PC inner frames (ride INSIDE Message(stream_id=0) payloads with no
+# --- inner length header; tags per connector_wire_messages.py:784-789) ---
+
+ListUncommitted = namedtuple("ListUncommitted", "rtag")
+ReplyUncommitted = namedtuple("ReplyUncommitted", "rtag txn_ids")
+TwoPCPhase1 = namedtuple("TwoPCPhase1", "txn_id where_list")
+TwoPCReply = namedtuple("TwoPCReply", "txn_id commit")
+TwoPCPhase2 = namedtuple("TwoPCPhase2", "txn_id commit")
+
+_TWOPC_TAGS = {ListUncommitted: 201, ReplyUncommitted: 202,
+               TwoPCPhase1: 203, TwoPCReply: 204, TwoPCPhase2: 205}
+
+
+def twopc_encode(msg):
+    """Tag + body bytes for a 2PC inner frame (no length header)."""
+    tag = struct.pack(">B", _TWOPC_TAGS[type(msg)])
+    if isinstance(msg, ListUncommitted):
+        return tag + struct.pack(">Q", msg.rtag)
+    if isinstance(msg, ReplyUncommitted):
+        return (tag + struct.pack(">QI", msg.rtag, len(msg.txn_ids)) +
+                b"".join(_short_bytes(t) for t in msg.txn_ids))
+    if isinstance(msg, TwoPCPhase1):
+        return (tag + _short_bytes(msg.txn_id) +
+                struct.pack(">I", len(msg.where_list)) +
+                b"".join(struct.pack(">QQQ", s, a, b)
+                         for (s, a, b) in msg.where_list))
+    if isinstance(msg, (TwoPCReply, TwoPCPhase2)):
+        return (tag + _short_bytes(msg.txn_id) +
+                (b"\x01" if msg.commit else b"\x00"))
+    raise TypeError("not a 2PC message: %r" % (msg,))
+
+
+def twopc_decode(bs):
+    tag, at = bs[0], 1
+    if tag == 201:
+        return ListUncommitted(*struct.unpack_from(">Q", bs, at))
+    if tag == 202:
+        rtag, n = struct.unpack_from(">QI", bs, at)
+        at += 12
+        txns = []
+        for _ in range(n):
+            t, at = _take_short(bs, at)
+            txns.append(t.decode())
+        return ReplyUncommitted(rtag, txns)
+    if tag == 203:
+        txn, at = _take_short(bs, at)
+        (n,) = struct.unpack_from(">I", bs, at)
+        at += 4
+        wl = [struct.unpack_from(">QQQ", bs, at + 24 * i) for i in range(n)]
+        return TwoPCPhase1(txn.decode(), wl)
+    if tag in (204, 205):
+        txn, at = _take_short(bs, at)
+        commit = bs[at:at + 1] == b"\x01"
+        cls = TwoPCReply if tag == 204 else TwoPCPhase2
+        return cls(txn.decode(), commit)
+    raise ValueError("unknown 2PC frame tag %d" % tag)
+
+
+def twopc_carrier(msg):
+    """Wrap a 2PC frame in its stream-0 carrier Message."""
+    return Message(0, 0, 0, None, twopc_encode(msg))
+
+
+def twopc_unwrap(msg):
+    """TwoPC frame inside a stream-0 Message, or None for data messages."""
+    if isinstance(msg, Message) and msg.stream_id == 0 and msg.payload:
+        return twopc_decode(msg.payload)
+    return None
+
 
 def _short_bytes(value):
     data = value.encode() if isinstance(value, str) else (value or b"")

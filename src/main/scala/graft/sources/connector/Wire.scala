@@ -134,6 +134,74 @@ object Wire {
     }
   }
 
+  /** The 2PC message family rides INSIDE `Message(streamId = 0)` payloads
+    * (never as top-level frames, and with no inner length header): 1-byte
+    * tag 201-206 + body, per the reference's TwoPCFrame
+    * (machida/lib/wallaroo/experimental/connector_wire_messages.py:783-805)
+    * and the engine's send shape `MessageMsg(0, 0, 0, None, bytes)`
+    * (lib/wallaroo/core/sink/connector_sink/connector_sink_twopc.pony:72).
+    */
+  object TwoPc {
+    sealed trait TMsg
+    final case class ListUncommitted(rtag: Long) extends TMsg
+    final case class ReplyUncommitted(rtag: Long, txnIds: Seq[String]) extends TMsg
+    /** whereList entries are (streamId, startPor, endPor) — byte offsets in
+      * the sink's output; streamId is always 1 for the single data stream. */
+    final case class Phase1(txnId: String, whereList: Seq[(Long, Long, Long)]) extends TMsg
+    final case class Reply(txnId: String, commit: Boolean) extends TMsg
+    final case class Phase2(txnId: String, commit: Boolean) extends TMsg
+
+    def encode(m: TMsg): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bo)
+      m match {
+        case ListUncommitted(rtag) =>
+          o.writeByte(201); o.writeLong(rtag)
+        case ReplyUncommitted(rtag, txns) =>
+          o.writeByte(202); o.writeLong(rtag); o.writeInt(txns.size)
+          txns.foreach(t => shortStr(o, utf8(t)))
+        case Phase1(txn, wl) =>
+          o.writeByte(203); shortStr(o, utf8(txn)); o.writeInt(wl.size)
+          wl.foreach { case (sid, s, e) =>
+            o.writeLong(sid); o.writeLong(s); o.writeLong(e)
+          }
+        case Reply(txn, c) =>
+          o.writeByte(204); shortStr(o, utf8(txn)); o.writeBoolean(c)
+        case Phase2(txn, c) =>
+          o.writeByte(205); shortStr(o, utf8(txn)); o.writeBoolean(c)
+      }
+      o.flush(); bo.toByteArray
+    }
+
+    def decode(bs: Array[Byte]): TMsg = {
+      val i = new DataInputStream(
+        new java.io.ByteArrayInputStream(bs, 1, bs.length - 1))
+      def str() = new String(readShortBytes(i), StandardCharsets.UTF_8)
+      (bs(0) & 0xff) match {
+        case 201 => ListUncommitted(i.readLong())
+        case 202 =>
+          val rtag = i.readLong()
+          val n = i.readInt()
+          ReplyUncommitted(rtag, Seq.fill(n)(str()))
+        case 203 =>
+          val txn = str()
+          val n = i.readInt()
+          Phase1(txn, Seq.fill(n)((i.readLong(), i.readLong(), i.readLong())))
+        case 204 => Reply(str(), i.readBoolean())
+        case 205 => Phase2(str(), i.readBoolean())
+        case t => throw new java.io.IOException(s"unknown 2PC frame tag $t")
+      }
+    }
+
+    /** Wrap a 2PC message in its carrier: `Message(0, 0, 0, null, bytes)`. */
+    def carrier(m: TMsg): Message = Message(0L, 0L, 0L, null, encode(m))
+
+    /** Unwrap a stream-0 carrier Message, or None for data messages. */
+    def unwrap(m: Message): Option[TMsg] =
+      if (m.streamId == 0L && m.payload != null) Some(decode(m.payload))
+      else None
+  }
+
   /** Blocking-read one frame off `in`; None on clean EOF at a boundary. */
   def readFrame(in: InputStream): Option[Msg] = {
     val d = new DataInputStream(in)
