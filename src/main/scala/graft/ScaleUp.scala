@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: synthesize an N× copy of a testdata
+  * directory by unioning N key-shifted replicas of each table, preserving
+  * referential integrity within each replica (customer/orders/lineitem/
+  * part/supplier key chains shift together). Time columns stay put — N×
+  * the rows in the same window, the "more data, same period" read.
+  *
+  * Two tables get content DIVERSITY, not just new keys, so the dedup and
+  * ANN families scale on realistic distributions instead of artifacts:
+  *
+  *   - documents: replica i of doc j = first half of doc j + second half
+  *     of doc (j+i) mod D. Shingle overlap with either parent ≈ 1/3
+  *     Jaccard — BELOW the near-dup thresholds, so replication does not
+  *     manufacture dup clusters (identical copies would turn every doc
+  *     into a 10-clique and the in-bucket pair counts quadratic).
+  *   - embeddings: replica i perturbs each coordinate by a small
+  *     deterministic dimension-dependent term — cluster geometry kept,
+  *     exact ties broken.
+  *
+  *   runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
+
+    // dimension tables stay — N× the facts over the same dimensions
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val events = read("events")
+    val documents = read("documents")
+    val embeddings = read("embeddings")
+
+    val cK = stride(customer, "c_custkey")
+    val sK = stride(supplier, "s_suppkey")
+    val pK = stride(part, "p_partkey")
+    val oK = stride(orders, "o_orderkey")
+    val eK = stride(events, "event_id")
+    val uK = stride(events, "user_id")
+    val dK = stride(documents, "doc_id")
+    val vK = stride(embeddings, "vec_id")
+
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    write(replicate(customer) { (df, i) =>
+      df.withColumn("c_custkey", $"c_custkey" + lit(i * cK))
+    }, "customer")
+    write(replicate(supplier) { (df, i) =>
+      df.withColumn("s_suppkey", $"s_suppkey" + lit(i * sK))
+    }, "supplier")
+    write(replicate(part) { (df, i) =>
+      df.withColumn("p_partkey", $"p_partkey" + lit(i * pK))
+    }, "part")
+    write(replicate(orders) { (df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * oK))
+        .withColumn("o_custkey", $"o_custkey" + lit(i * cK))
+    }, "orders")
+    write(replicate(lineitem) { (df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * oK))
+        .withColumn("l_partkey", $"l_partkey" + lit(i * pK))
+        .withColumn("l_suppkey", $"l_suppkey" + lit(i * sK))
+    }, "lineitem")
+    write(replicate(events) { (df, i) =>
+      df.withColumn("event_id", $"event_id" + lit(i * eK))
+        .withColumn("user_id", $"user_id" + lit(i * uK))
+    }, "events")
+
+    // documents: half-splice against a rotating partner for shingle
+    // diversity (see scaladoc); replica 0 is the original corpus
+    val partner = documents.select($"doc_id".as("_pid"), $"text".as("_ptext"))
+    write(replicate(documents) { (df, i) =>
+      if (i == 0) df
+      else {
+        val spliced = df
+          .withColumn("_pid", pmod($"doc_id" + lit(i), lit(dK)))
+          .join(partner, "_pid")
+          .withColumn("text",
+            concat(
+              substring($"text", lit(1), (length($"text") / 2).cast("int")),
+              lit(" "),
+              substring($"_ptext",
+                (length($"_ptext") / 2).cast("int") + 1, lit(1 << 24))))
+          .drop("_pid", "_ptext")
+        spliced
+          .withColumn("doc_id", $"doc_id" + lit(i * dK))
+          .withColumn("n_chars", length($"text").cast("long"))
+      }
+    }, "documents")
+
+    write(replicate(embeddings) { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("vec_id", $"vec_id" + lit(i * vK))
+        .withColumn("embedding",
+          zip_with($"embedding",
+            transform(sequence(lit(0), size($"embedding") - 1),
+              d => d.cast("float")),
+            (x, d) => x * (lit(1.0f) + lit(0.002f * i)) +
+              lit(0.001f * i) * pmod(d, lit(5.0f))))
+    }, "embeddings")
+
+    println(s"SCALEUP_DONE factor=$factor dst=$dst")
+    spark.stop()
+  }
+}

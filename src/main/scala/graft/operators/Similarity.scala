@@ -260,12 +260,74 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      excludeSelf: Boolean = true, chunkSize: Int = 8192): DataFrame = {
+      excludeSelf: Boolean = true, chunkSize: Int = 8192,
+      ivfCentroids: Option[Seq[(Long, Array[Double])]] = None,
+      ivfNprobe: Int = 4, ivfRouteChunks: Int = 8): DataFrame = {
+    // Each chunk is a full corpus scan, so a query set of C chunks costs C
+    // scans — the documented queries≪corpus contract. When the caller
+    // supplies an IVF index AND the query side exceeds `ivfRouteChunks`
+    // chunks, route through the bucket join instead: one corpus shuffle on
+    // bucket, queries fully distributed, no driver iteration — the
+    // corpus-sized-Q path. Routing never happens silently into
+    // approximation: no centroids, no reroute.
+    if (ivfCentroids.isDefined &&
+        queries.count() > ivfRouteChunks.toLong * chunkSize) {
+      System.err.println(
+        s"knnJoin: query side exceeds $ivfRouteChunks chunks; routing " +
+          s"through the IVF bucket index (nprobe=$ivfNprobe)")
+      return knnJoinIvf(emb, idCol, vecCol, queries, qIdCol, qVecCol, k,
+        ivfCentroids.get, ivfNprobe, excludeSelf)
+    }
     val chunks = queryChunks(queries,
       Seq(col(qIdCol).cast("long"), col(qVecCol)), chunkSize)
       .map(_.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1))
       .map(knnJoinChunk(emb, idCol, vecCol, _, k, excludeSelf))
     boundedChunkUnion(chunks, "knnJoin")
+  }
+
+  /** Fully distributed IVF-routed k-NN join — the corpus-sized-query-set
+    * path (`Q` can be as large as the corpus; nothing iterates on the
+    * driver). Corpus rows take a zero-shuffle literal-argmax bucket
+    * assignment; each query explodes to its `nprobe` closest centroid
+    * buckets; ONE shuffle join on `bucket` yields only same-bucket
+    * candidate pairs (the pruning — candidates ≈ Q·nprobe·n/K instead of
+    * Q·n), and a per-query window keeps the top k by the same
+    * `cos DESC, id ASC` order as the exact path. Approximate by
+    * construction (recall depends on nprobe/K), which is why [[knnJoin]]
+    * only routes here when the caller explicitly provides the index.
+    * Output schema matches [[knnJoin]]: (query_id, idCol, cos).
+    */
+  def knnJoinIvf(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.nonEmpty, "knnJoinIvf: no centroids")
+    require(nprobe >= 1, "knnJoinIvf: nprobe must be >= 1")
+    graft.plans.VecCosine.register(emb.sparkSession)
+    val corpus = emb
+      .select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nv"))
+      .withColumn("bucket", argmaxCosine(col("_nv"), centroids))
+    val cArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v.toSeq).as("cv"))
+    }: _*)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ccos").desc, col("_c.cid"))
+    val probes = queries
+      .select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("_qv"))
+      .withColumn("_c", explode(cArr))
+      .withColumn("_ccos", graft.plans.VecCosine.cosine(col("_qv"), col("_c.cv")))
+      .withColumn("_rk", row_number().over(probeW))
+      .filter(col("_rk") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_c.cid").as("bucket"))
+    val candidates = corpus.join(probes, "bucket")
+      .filter(not(lit(excludeSelf) && col("_nid") === col("query_id")))
+      .withColumn("cos", graft.plans.VecCosine.cosine(col("_nv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("_nid"))
+    candidates.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("_nid").as(idCol), col("cos"))
   }
 
   private def knnJoinChunk(emb: DataFrame, idCol: String, vecCol: String,

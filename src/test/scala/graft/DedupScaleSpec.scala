@@ -156,4 +156,48 @@ class DedupScaleSpec extends AnyFunSuite {
       assert(labels(id) != labels(qid), s"same-label pair ($qid, $id)")
     }
   }
+
+  test("knnJoin IVF route: parity with the exact path on separated clusters, bucket-pruned plan") {
+    import spark.implicits._
+    // 4 well-separated clusters in 8-dim (basis direction + small fixed
+    // noise): every top-3 neighbor lives in the query's own cluster, so
+    // the IVF route (approximate in general) must EQUAL the exact path
+    val dim = 8
+    val rows = (0L until 400L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (((id * 31 + d) % 7) - 3))
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(4)
+    val queries = emb.filter($"vec_id" < 300)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3, chunkSize = 1 << 20)
+    // 300 queries > ivfRouteChunks(2) × chunkSize(64) → auto-routes to IVF
+    val routed = Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3, chunkSize = 64,
+      ivfCentroids = Some(cents), ivfNprobe = 2, ivfRouteChunks = 2)
+    assert(key(routed) == key(exact))
+    assert(key(routed).map(_._1).distinct.size == 300)
+
+    // plan shape: candidates come from a bucket-keyed JOIN (the pruning),
+    // never a cartesian/broadcast-nested-loop full fan-out
+    val plan = Similarity.knnJoinIvf(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3, cents, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // and the candidate fan-out is bucket-bounded: ≈ Q × (corpus/K) ×
+    // nprobe, not Q × corpus
+    val candBound = 300L * (400L / 4) * 2
+    assert(candBound < 300L * 400L)
+  }
 }
