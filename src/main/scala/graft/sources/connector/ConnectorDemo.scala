@@ -32,6 +32,10 @@ object ConnectorDemo {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // collect() is DEMO-ONLY: this main exists to dump a bounded test
+        // feed as JSONL. Never copy this into an operator — real pipelines
+        // aggregate/write distributed (see ConnectorWordCountDemo's agg or
+        // TwoPcSink's bounded toLocalIterator).
         batch.collect().foreach { r =>
           rows.put(r.getLong(1),
             new String(r.getAs[Array[Byte]]("value"), StandardCharsets.UTF_8))
