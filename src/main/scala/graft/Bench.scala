@@ -88,15 +88,17 @@ object Bench {
       (name, best, err)
     }
     // Contention back-stop (the gate can't see load that ARRIVES mid-run):
-    // any query whose min-of-N exceeds 3x its entry in the committed
+    // any query whose min-of-N exceeds 1.5x its entry in the committed
     // BENCH_FULL.json — the last idle-box map at the SAME sf — gets ONE
     // sequential re-time now, at run end, when a transient load spike has
     // had the whole run to pass. Keep the better time; list the names in
     // a `retimed` field so the artifact says which numbers were recovered.
+    // (Round 6 used 3x and let 1.8-2.6x contention through; a re-time
+    // costs seconds, so the threshold errs toward re-timing.)
     val committed: Map[String, Double] =
       try {
         // the literal committed map (each run overwrites the working-tree
-        // file, and a polluted overwrite would weaken the next run's 3x
+        // file, and a polluted overwrite would weaken the next run's
         // threshold); fall back to the working tree outside a git checkout
         val txt =
           try scala.sys.process.Process(
@@ -106,31 +108,44 @@ object Bench {
               new String(java.nio.file.Files.readAllBytes(
                 java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
           }
-        val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
+        // exact-value sf compare (a raw substring test would let
+        // ".../sf0.1" match an ".../sf0.1x" artifact and vice versa)
+        val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
         val qi = txt.indexOf("\"queries\":{")
         if (!sameSf || qi < 0) Map.empty
         else {
-          val start = qi + "\"queries\":{".length
-          val body = txt.substring(start, txt.indexOf("}", start))
-          body.split(",").iterator.flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) =>
-                v.toDoubleOption.filter(_ > 0)
-                  .map(d => (k.replace("\"", ""), d))
-              case _ => None
+          // balanced-brace scan for the map's true extent — a first-'}'
+          // cutoff would silently truncate if the layout ever nests
+          val open = qi + "\"queries\":".length
+          var depth = 0; var i = open; var close = -1
+          while (i < txt.length && close < 0) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) close = i
+              case _ => ()
             }
-          }.toMap
+            i += 1
+          }
+          if (close < 0) Map.empty
+          else "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+            .findAllMatchIn(txt.substring(open + 1, close))
+            .flatMap(m => m.group(2).toDoubleOption.filter(_ > 0)
+              .map(d => m.group(1) -> d))
+            .toMap
         }
       } catch { case _: Throwable => Map.empty }
     val retimedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map { case (name, best, err) =>
       committed.get(name) match {
-        case Some(c) if err.isEmpty && best > 3.0 * c && best > 0.5 =>
+        case Some(c) if err.isEmpty && best > 1.5 * c && best > 0.1 =>
           val (again, e2) = timeOnce(name, selected(name))
+          // record the retime either way: a still-slow entry is then
+          // readable as "re-examined, genuinely slow", not contention
+          retimedNames += name
           if (e2.isEmpty && again < best) {
             System.err.println(
               f"[bench] retimed $name: $best%.3f -> $again%.3f (committed $c%.3f)")
-            retimedNames += name
             (name, again, err)
           } else (name, best, err)
         case _ => (name, best, err)

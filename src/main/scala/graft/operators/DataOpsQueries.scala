@@ -257,6 +257,30 @@ object DataOpsQueries {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** IVF-ROUTED k-NN join, oracle-gated end-to-end: every corpus vector is
+    * also a query (Q = N = 500 ≫ the 2-chunk×16 route threshold), so
+    * [[Similarity.knnJoin]] reroutes through the fully distributed bucket
+    * join — zero-shuffle argmax bucket assignment, nprobe=2 probe
+    * explosion, ONE shuffle join on bucket, per-query top-k window. The
+    * oracle replays assignment, probing, and ranking in SQL with the same
+    * `cos DESC, id ASC` tie-breaks, so the corpus-sized-Q path gets the
+    * same hash-match guarantee as the exact path (q_knn_join).
+    */
+  def qKnnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, dir)
+    val cents: Seq[(Long, Array[Double])] = emb.filter($"vec_id" < 6)
+      .select($"vec_id".cast("long"), $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    val queries = emb.select($"vec_id".as("qid"), $"embedding".as("qv"))
+    Similarity.knnJoin(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, chunkSize = 16, ivfCentroids = Some(cents), ivfNprobe = 2,
+      ivfRouteChunks = 2)
+      .orderBy($"query_id", $"vec_id")
+  }
+
   /** MinHash-LSH quality evaluation: recall of the banded pipeline against
     * the EXACT Jaccard >= 0.5 pair set (via the lossless prefix-filtered
     * AllPairs join with no banding). Verified LSH pairs are a subset of
@@ -479,6 +503,7 @@ object DataOpsQueries {
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_ivf" -> qAnnIvf,
     "q_knn_join" -> qKnnJoin,
+    "q_knn_join_ivf" -> qKnnJoinIvf,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
@@ -819,6 +844,32 @@ object DataOpsQueries {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cos("a.embedding", "b.embedding")} >= 0.40
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_join_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 6),
+         |fan AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |asg AS (SELECT vec_id, embedding, cid AS bucket FROM fan WHERE rn = 1),
+         |pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid AS bucket,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cos("q.embedding", "c.cvec")} DESC, c.cid) AS rk
+         |  FROM embeddings q CROSS JOIN c),
+         |probe AS (SELECT query_id, qv, bucket FROM pr WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, ${cos("a.embedding", "p.qv")} AS cos
+         |  FROM asg a JOIN probe p USING (bucket)
+         |  WHERE a.vec_id <> p.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand)
+         |SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
+         |ORDER BY query_id, vec_id""".stripMargin,
     "q_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |  FROM embeddings WHERE vec_id < 5),

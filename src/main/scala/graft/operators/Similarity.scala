@@ -269,9 +269,16 @@ object Similarity {
     // chunks, route through the bucket join instead: one corpus shuffle on
     // bucket, queries fully distributed, no driver iteration — the
     // corpus-sized-Q path. Routing never happens silently into
-    // approximation: no centroids, no reroute.
-    if (ivfCentroids.isDefined &&
-        queries.count() > ivfRouteChunks.toLong * chunkSize) {
+    // approximation: no centroids, no reroute. The size probe is a
+    // bounded `limit(threshold+1).count()` — it stops scanning at the
+    // threshold instead of counting a possibly corpus-sized Q (callers
+    // with an expensive non-deterministic query plan should cache it so
+    // the probe and the routed scan agree).
+    val routeThreshold = ivfRouteChunks.toLong * chunkSize
+    if (ivfCentroids.isDefined && {
+      val lim = math.min(routeThreshold + 1, Int.MaxValue.toLong).toInt
+      queries.limit(lim).count() > routeThreshold
+    }) {
       System.err.println(
         s"knnJoin: query side exceeds $ivfRouteChunks chunks; routing " +
           s"through the IVF bucket index (nprobe=$ivfNprobe)")

@@ -84,6 +84,14 @@ final class AtLeastOnceClient(host: String, portOf: () => Int, cookie: String,
           while (open) Wire.readFrame(in) match {
             case None => open = false
             case Some(Wire.NotifyAck(true, sid, por)) if sid == streamId =>
+              // the resume position IS an ack: the engine has durably
+              // processed everything ≤ por. Without this, a sender that
+              // reconnects AFTER the engine committed its final batch
+              // would wait forever for an Ack frame that only flows on
+              // NEW commits (none are coming — the stream is drained).
+              if (por != Wire.PorUnknown) {
+                source.acked(por); lastAcked.set(por)
+              }
               resumeAt.set(por); resumed.release()
             case Some(Wire.NotifyAck(false, _, _)) => open = false
             case Some(Wire.Ack(c, acks)) =>
@@ -117,7 +125,8 @@ final class AtLeastOnceClient(host: String, portOf: () => Int, cookie: String,
         // linger for the final ack so the engine's commit covers the tail
         val deadline = System.currentTimeMillis + 30000
         while (lastAcked.get < source.pointOfRef &&
-          System.currentTimeMillis < deadline && !restart.get) Thread.sleep(25)
+          System.currentTimeMillis < deadline && !restart.get &&
+          !stopped.get) Thread.sleep(25)
         lastAcked.get >= source.pointOfRef
       } else false
     } finally { try socket.close() catch { case _: Throwable => () } }

@@ -123,6 +123,12 @@ object ConnectorRegistry {
   private val ports = new ConcurrentHashMap[String, Integer]()
   private[connector] def publish(name: String, port: Int): Unit =
     if (name != null && name.nonEmpty) ports.put(name, port)
+  /** Remove `name` only if it still maps to `port` — a restarted query
+    * re-publishes the same name with a new port, and the OLD stream's
+    * (possibly later-running) close must not erase the new registration.
+    */
+  private[connector] def retract(name: String, port: Int): Unit =
+    if (name != null && name.nonEmpty) ports.remove(name, Integer.valueOf(port))
   def port(name: String): Option[Int] = Option(ports.get(name)).map(_.toInt)
 }
 
@@ -155,7 +161,8 @@ final class ConnectorMicroBatchStream(options: CaseInsensitiveStringMap,
     options.getOrDefault("cookie", ""),
     options.getInt("credits", 65536),
     committed)
-  ConnectorRegistry.publish(options.getOrDefault("name", ""), server.port)
+  private val regName = options.getOrDefault("name", "")
+  ConnectorRegistry.publish(regName, server.port)
 
   override def initialOffset(): Offset = ConnectorOffset(committed)
 
@@ -264,7 +271,10 @@ final class ConnectorMicroBatchStream(options: CaseInsensitiveStringMap,
   override def commit(end: Offset): Unit =
     ackPors(end.asInstanceOf[ConnectorOffset].pors)
 
-  override def stop(): Unit = server.close()
+  override def stop(): Unit = {
+    server.close()
+    ConnectorRegistry.retract(regName, server.port)
+  }
 }
 
 /** One buffered slice of one stream, shipped driver → executor inside the

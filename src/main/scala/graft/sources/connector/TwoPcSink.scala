@@ -123,7 +123,12 @@ final class TwoPcSinkClient(host: String, port: Int, streamName: String,
 
   private def send(m: Wire.Msg): Unit = Wire.writeFrame(out, m)
 
-  /** Handshake + leftover-txn resolution; idempotent. */
+  /** Handshake + leftover-txn resolution; idempotent. On ANY I/O failure
+    * the socket is torn down (see [[processBatch]]): `Socket.isConnected`
+    * is sticky-true after the first connect, so a wedged or
+    * desynchronized connection would otherwise pass the `connected` check
+    * forever and no retry could ever re-run this recovery handshake.
+    */
   private def ensureConnected(): Unit = {
     if (connected) return
     socket = new Socket()
@@ -153,8 +158,11 @@ final class TwoPcSinkClient(host: String, port: Int, streamName: String,
     // — its Spark batch never committed engine-side and WILL replay.
     reply.txnIds.foreach { txn =>
       val commit = decisions.getOrElse(txn, false)
-      if (!decisions.contains(txn))
+      if (!decisions.contains(txn)) {
         appendLog(s"2 $txn abort") // make the abort decision durable too
+        decisions += txn -> false // and mirror it, like processBatch does —
+        // else a second reconnect re-resolves and re-appends the same abort
+      }
       send(TwoPc.carrier(TwoPc.Phase2(txn, commit)))
     }
   }
@@ -163,7 +171,20 @@ final class TwoPcSinkClient(host: String, port: Int, streamName: String,
     * [start, end) byte range, or None when the batch was already committed
     * in a previous incarnation (exactly-once replay skip).
     */
-  def processBatch(batchId: Long, rows: Iterator[Array[Byte]]): Option[(Long, Long)] = {
+  def processBatch(batchId: Long, rows: Iterator[Array[Byte]]): Option[(Long, Long)] =
+    try processBatchInner(batchId, rows)
+    catch {
+      case e: IOException =>
+        // tear the session down so the NEXT attempt re-runs
+        // ensureConnected's handshake + leftover-txn recovery — a
+        // once-failed socket must never be reused (isConnected stays
+        // true after the first connect, so `connected` can't detect a
+        // desynchronized or half-dead session on its own)
+        close()
+        throw e
+    }
+
+  private def processBatchInner(batchId: Long, rows: Iterator[Array[Byte]]): Option[(Long, Long)] = {
     val txnId = s"$streamName:c_id=$batchId"
     // connect BEFORE the replay-skip check: recovery (leftover-txn phase 2
     // resolution) must reach the sink even when this batch itself is skipped

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.connector._
@@ -18,10 +19,30 @@ import graft.sources.connector._
   * machida/lib/wallaroo/experimental/connectors.py + the Frame layout in
   * connector_wire_messages.py).
   */
-class ConnectorProtocolSpec extends AnyFunSuite {
+class ConnectorProtocolSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = GraftSession.configure(
     SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
+
+  /** Sender threads started by the current test; teardown proves each one
+    * actually terminated — a lingering reconnect loop is a test failure
+    * HERE, not interference for whichever test runs next.
+    */
+  private val senderThreads = mutable.Buffer.empty[Thread]
+  private def track(t: Thread): Thread = { senderThreads += t; t }
+
+  override def afterEach(): Unit = {
+    try {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      val leaked = senderThreads.filter { t => t.join(15000); t.isAlive }
+      assert(leaked.isEmpty,
+        s"sender threads still alive after test: ${leaked.map(_.getName)}")
+    } finally {
+      senderThreads.clear()
+      Delivered.rows.clear()
+      super.afterEach()
+    }
+  }
 
   test("wire frames round-trip and match the reference byte layout") {
     val msgs: Seq[Wire.Msg] = Seq(
@@ -105,7 +126,7 @@ class ConnectorProtocolSpec extends AnyFunSuite {
       "secret", "graft_app", "worker1", 7L, "stream7", source)
 
     val q1 = startQuery(ckpt, "resume_test")
-    val clientThread = client.runInBackground()
+    val clientThread = track(client.runInBackground())
     try {
       // wait until at least one batch COMMITTED (por persisted) mid-stream
       val deadline = System.currentTimeMillis + 60000
@@ -160,7 +181,6 @@ class ConnectorProtocolSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally {
       client.stopped.set(true)
-      spark.streams.active.foreach(_.stop())
     }
   }
 
@@ -177,7 +197,7 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     val cb = new AtLeastOnceClient("localhost", () => port(), "secret",
       "app", "wB", 2L, "stream_b", srcB)
     try {
-      val ta = ca.runInBackground(); val tb = cb.runInBackground()
+      val ta = track(ca.runInBackground()); val tb = track(cb.runInBackground())
       ta.join(60000); tb.join(60000)
       assert(!ta.isAlive && !tb.isAlive, "a sender missed its final ack")
       q.processAllAvailable()
@@ -225,7 +245,7 @@ class ConnectorProtocolSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .start()
     try {
-      val t = client.runInBackground()
+      val t = track(client.runInBackground())
       t.join(60000)
       assert(!t.isAlive, "sender did not finish")
       q.processAllAvailable()
@@ -276,7 +296,7 @@ class ConnectorProtocolSpec extends AnyFunSuite {
         throw new java.io.IOException("b not up")),
       "secret", "app", "wB", 20L, "sb", sb)
     try {
-      val ta = ca.runInBackground(); val tb = cb.runInBackground()
+      val ta = track(ca.runInBackground()); val tb = track(cb.runInBackground())
       ta.join(60000); tb.join(60000)
       // both senders got their final acks — i.e. BOTH sources' durable-ack
       // flushers found their own line in the shared offset log
@@ -301,43 +321,54 @@ class ConnectorProtocolSpec extends AnyFunSuite {
     // at-least-once has a failure contract too: if a query restarts with
     // an uncommitted WAL batch and NO sender reconnects to re-send the
     // tail, the batch must fail with the protocol's explanation — never
-    // hang forever or fabricate an empty batch (silent data loss)
+    // hang forever or fabricate an empty batch (silent data loss).
+    //
+    // The WAL gap is constructed DETERMINISTICALLY: Spark writes a batch's
+    // offsets-WAL entry before foreachBatch runs and its commit-log entry
+    // only after it returns, so blocking foreachBatch on a latch and
+    // stopping the query while blocked GUARANTEES an uncommitted batch
+    // with data. (The previous form raced q1.stop() against the final
+    // commit — if the commit won there was no gap and no exception.)
     val ckpt = Files.createTempDirectory("connector_ckpt6").toString
     Delivered.rows.clear()
-    def start(timeoutMs: Int) = spark.readStream.format("graft-connector")
-      .option("port", "0").option("name", "timeout_test")
-      .option("cookie", "secret")
-      .option("replayTimeoutMs", timeoutMs.toString)
-      .load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          Delivered.rows.add((r.getLong(0), r.getLong(1), ""))
+    val gateArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inFlight = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    def start(timeoutMs: Int, gated: Boolean) =
+      spark.readStream.format("graft-connector")
+        .option("port", "0").option("name", "timeout_test")
+        .option("cookie", "secret")
+        .option("replayTimeoutMs", timeoutMs.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect()
+          rows.foreach { r =>
+            Delivered.rows.add((r.getLong(0), r.getLong(1), ""))
+          }
+          if (gated && rows.nonEmpty && Delivered.rows.size >= 50 &&
+            gateArmed.compareAndSet(false, true)) {
+            inFlight.countDown()
+            release.await() // q1.stop() interrupts this → batch never commits
+          }
         }
-      }
-      .start()
-    val source = new SeqSource((1 to 400).map(i => s"t-$i".getBytes)) {
-      override def next(): Option[(Array[Byte], Long)] = {
-        Thread.sleep(2); super.next()
-      }
-    }
+        .start()
+    val source = new SeqSource((1 to 400).map(i => s"t-$i".getBytes))
     val client = new AtLeastOnceClient("localhost",
       () => ConnectorRegistry.port("timeout_test").getOrElse(
         throw new java.io.IOException("not up")),
       "secret", "app", "w1", 5L, "s5", source)
-    val q1 = start(timeoutMs = 60000)
-    val t = client.runInBackground()
+    val q1 = start(timeoutMs = 60000, gated = true)
+    val t = track(client.runInBackground())
     try {
-      // wait until a batch is in-flight (WAL written) with data delivered
-      val deadline = System.currentTimeMillis + 30000
-      while (Delivered.rows.size < 50 && System.currentTimeMillis < deadline)
-        Thread.sleep(20)
-      assert(Delivered.rows.size >= 50)
-      q1.stop()
+      assert(inFlight.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "no non-empty batch reached the commit gate")
       client.stopped.set(true) // the sender is GONE for good
-      t.join(5000)
+      t.join(10000)
+      assert(!t.isAlive, "sender did not stop")
+      q1.stop() // interrupts the gated batch → its WAL entry stays uncommitted
 
-      val q2 = start(timeoutMs = 2000)
+      val q2 = start(timeoutMs = 2000, gated = false)
       try {
         val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
           q2.processAllAvailable()
@@ -349,8 +380,8 @@ class ConnectorProtocolSpec extends AnyFunSuite {
           s"want the replay-contract error, got: $msgs")
       } finally q2.stop()
     } finally {
+      release.countDown()
       client.stopped.set(true)
-      spark.streams.active.foreach(_.stop())
     }
   }
 

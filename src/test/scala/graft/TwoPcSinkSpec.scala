@@ -204,6 +204,30 @@ class TwoPcSinkSpec extends AnyFunSuite {
     } finally { c2.close(); sink.close() }
   }
 
+  test("same client instance survives an I/O failure: next call re-handshakes") {
+    val sink = new MockAlocSink
+    val dir = Files.createTempDirectory("twopc")
+    val c = new TwoPcSinkClient("127.0.0.1", sink.port, "s1", dir)
+    try {
+      c.processBatch(0L, Iterator(bytes("one.")))
+      c.crashAfterPhase1 = true
+      intercept[IOException] { c.processBatch(1L, Iterator(bytes("two."))) }
+      c.crashAfterPhase1 = false
+      // the SAME instance must recover: the failed call tore its socket
+      // down, so this retry re-runs ensureConnected's handshake AND the
+      // leftover-txn resolution (Socket.isConnected is sticky-true, so
+      // without the teardown the wedged session would be reused forever
+      // and the phase1-ok leftover at the sink would never be aborted)
+      assert(c.processBatch(1L, Iterator(bytes("two."))) == Some((4L, 8L)))
+      awaitCond("abort-then-resend on one client, exactly once") {
+        new String(sink.outputBytes, StandardCharsets.UTF_8) == "one.two." &&
+          sink.uncommitted.isEmpty
+      }
+      assert(sink.phase2Log.synchronized(
+        sink.phase2Log.contains(("s1:c_id=1", false))))
+    } finally { c.close(); sink.close() }
+  }
+
   test("crash after the commit decision is logged: recovery re-sends commit, replay skips") {
     val sink = new MockAlocSink
     val dir = Files.createTempDirectory("twopc")
