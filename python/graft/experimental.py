@@ -465,7 +465,12 @@ class DirectoryQueueSource(BaseSource):
         self.landing_dir = landing_dir
         self.name = name
         self.throttle_s = throttle_s  # per-message pacing (giles-style)
+        # retained window: _values holds messages [_base, _base+len) of the
+        # global index — the acked prefix is dropped (see acked()), so a
+        # long-running sender's memory is bounded by the UNACKED tail, not
+        # the whole queue history
         self._values = []
+        self._base = 0
         self._pos = 0
         self._loaded = set()
         self.acked_por = -1
@@ -491,23 +496,37 @@ class DirectoryQueueSource(BaseSource):
             self._loaded.add(f)
 
     def reset(self, pos=0):
+        pos = int(pos)
+        if pos < self._base:
+            # resume below the dropped prefix: the protocol never asks for
+            # this (acks only advance), but the landing files are durable,
+            # so rebuild the whole window rather than fail
+            self._values = []
+            self._loaded = set()
+            self._base = 0
         self._load_tail()
-        self._pos = int(pos)
+        self._pos = pos
 
     def point_of_ref(self):
         return self._pos
 
     def __next__(self):
-        if self._pos >= len(self._values):
+        if self._pos >= self._base + len(self._values):
             self._load_tail()
-        if self._pos >= len(self._values):
+        if self._pos >= self._base + len(self._values):
             raise StopIteration
         if self.throttle_s:
             import time
             time.sleep(self.throttle_s)
-        value = self._values[self._pos]
+        value = self._values[self._pos - self._base]
         self._pos += 1
         return (value, self._pos)
 
     def acked(self, point_of_ref):
         self.acked_por = point_of_ref
+        # drop the acked prefix (por is a global index; everything <= por
+        # is durable engine-side and will never be asked for again)
+        keep_from = min(int(point_of_ref), self._base + len(self._values))
+        if keep_from > self._base:
+            del self._values[:keep_from - self._base]
+            self._base = keep_from

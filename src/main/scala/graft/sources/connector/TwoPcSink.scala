@@ -233,6 +233,9 @@ object TwoPcSink {
     * driver memory bounded to one partition; iteration order is the
     * batch's partition order, deterministic under replay for replayable
     * sources — the precondition the byte-offset accounting needs.
+    *
+    * Single-connection driver funnel: right for modest output volumes;
+    * at scale use [[shardedForeachBatchWriter]].
     */
   def foreachBatchWriter(client: TwoPcSinkClient, bytesCol: String)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
@@ -241,5 +244,79 @@ object TwoPcSink {
       .map(_.getAs[Array[Byte]](0))
     client.processBatch(batchId, it)
     ()
+  }
+
+  /** Executor-side client cache: ONE persistent connection per stream name
+    * per JVM, exactly the reference's one-connection-per-worker topology
+    * (connector_sink_twopc.pony — each wallaroo worker owns one sink
+    * connection). Cached across micro-batches so the handshake +
+    * leftover-txn recovery runs once per incarnation, not once per batch;
+    * a client that hit an I/O error tears its socket down and re-runs
+    * recovery on the next batch by itself.
+    */
+  private val shardClients =
+    new java.util.concurrent.ConcurrentHashMap[String, TwoPcSinkClient]()
+
+  /** Test/diagnostics hook: the live cached client for `stream`, if any. */
+  private[graft] def cachedClient(stream: String): Option[TwoPcSinkClient] =
+    Option(shardClients.get(stream))
+
+  /** Test hook: simulate a whole-engine restart — close and drop every
+    * cached client so the next batch builds fresh ones that replay their
+    * durable txn logs.
+    */
+  private[graft] def resetClients(): Unit = {
+    val it = shardClients.values().iterator()
+    while (it.hasNext) { try it.next().close() catch { case _: Throwable => () } }
+    shardClients.clear()
+  }
+
+  /** SHARDED 2PC sink — the scale form of [[foreachBatchWriter]]: the
+    * batch is hash-partitioned on `partitionKeyCol` into `numPartitions`
+    * output groups and each group ships over ITS OWN connection, stream
+    * `<streamBase>-p<pid>`, with a per-partition txn log directory
+    * `<txnLogRoot>/p<pid>` — N independent single-stream 2PC protocols,
+    * which is exactly how the reference scales its connector sink (one
+    * connection per worker, each with its own stream and txn ids). No
+    * driver funnel: rows never leave the executors.
+    *
+    * Exactly-once holds PER STREAM by the same two-log composition as the
+    * single client; a crash mid-batch leaves each partition either
+    * committed (its replay skips) or aborted-and-resent (its replay
+    * re-sends) independently.
+    *
+    * Determinism contract: `repartition(hash(partitionKeyCol))` +
+    * `sortWithinPartitions(key, bytes)` make each partition's byte
+    * sequence a pure function of the batch's ROW SET, so a replayed batch
+    * re-produces each stream's exact bytes regardless of input
+    * partitioning or task order. `numPartitions` must stay fixed across
+    * restarts (like the reference's worker count); `txnLogRoot` must be
+    * storage every executor can reach (shared fs / DFS).
+    */
+  def shardedForeachBatchWriter(host: String, port: Int, streamBase: String,
+      txnLogRoot: String, bytesCol: String, partitionKeyCol: String,
+      numPartitions: Int, cookie: String = "", replyTimeoutMs: Int = 15000)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    import org.apache.spark.sql.functions.col
+    require(numPartitions >= 1, "shardedForeachBatchWriter: numPartitions >= 1")
+    df.select(col(partitionKeyCol).as("_k"), col(bytesCol).as("_b"))
+      .repartition(numPartitions, col("_k"))
+      .sortWithinPartitions(col("_k"), col("_b"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val stream = s"$streamBase-p$pid"
+          val client = shardClients.computeIfAbsent(stream, _ =>
+            new TwoPcSinkClient(host, port, stream,
+              java.nio.file.Paths.get(txnLogRoot, s"p$pid"), cookie,
+              instance = stream, replyTimeoutMs = replyTimeoutMs))
+          // one partition == one task per batch, but speculative retries
+          // could race on the shared per-JVM client — serialize per client
+          client.synchronized {
+            client.processBatch(batchId, it.map(_.getAs[Array[Byte]]("_b")))
+          }
+        }
+        ()
+      }
   }
 }

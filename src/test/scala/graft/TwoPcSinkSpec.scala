@@ -26,23 +26,46 @@ final class MockAlocSink {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
 
-  // durable-ish sink state — survives engine disconnects
-  private var output = Array.emptyByteArray
-  @volatile var lastCommitted = 0L
+  // durable-ish sink state — survives engine disconnects. Keyed by STREAM
+  // NAME (one output log per stream; the sharded writer opens one stream
+  // per output partition over its own connection, like one aloc_sink
+  // instance per wallaroo worker). txn ids embed their stream
+  // (`<stream>:c_id=N`), so the txn map stays flat.
+  private var outputs = Map.empty[String, Array[Byte]]
+  private var committed = Map.empty[String, Long]
   private var txnState = Map.empty[String, (Boolean, Long, Long)] // vote, start, end
   // fault injection
   @volatile var voteRollbackNext = false
   @volatile var dropAfterPhase1Reply = false
   val phase2Log = new scala.collection.mutable.ArrayBuffer[(String, Boolean)]
 
-  def outputBytes: Array[Byte] = synchronized(output.take(lastCommitted.toInt))
+  private def streamOf(txn: String): String = txn.split(":c_id=").head
+  /** No-arg accessors serve the single-stream tests: whatever one stream
+    * the sink has seen (falling back to "s1" before any traffic). */
+  private def soleStream: String = synchronized {
+    val ks = outputs.keySet ++ committed.keySet
+    if (ks.size == 1) ks.head else "s1"
+  }
+  def outputBytes: Array[Byte] = outputBytes(soleStream)
+  def outputBytes(stream: String): Array[Byte] = synchronized(
+    outputs.getOrElse(stream, Array.emptyByteArray)
+      .take(committed.getOrElse(stream, 0L).toInt))
+  def lastCommitted: Long = lastCommittedOf(soleStream)
+  def lastCommittedOf(stream: String): Long =
+    synchronized(committed.getOrElse(stream, 0L))
   def uncommitted: Set[String] = synchronized(txnState.keySet)
 
   private val thread = new Thread(() => {
     try while (!server.isClosed) {
       val s = server.accept()
-      try serve(s) catch { case _: IOException => () }
-      finally s.close()
+      // thread per connection: the sharded writer's N partition clients
+      // all hold their connections open concurrently
+      val t = new Thread(() => {
+        try serve(s) catch { case _: IOException => () }
+        finally (try s.close() catch { case _: IOException => () })
+      })
+      t.setDaemon(true)
+      t.start()
     } catch { case _: IOException => () }
   })
   thread.setDaemon(true)
@@ -54,32 +77,41 @@ final class MockAlocSink {
     val out = new DataOutputStream(s.getOutputStream)
     def reply(m: Wire.Msg): Unit = Wire.writeFrame(out, m)
     var done = false
+    var curStream: String = null // set by Notify; Messages target it
     while (!done) Wire.readFrame(in) match {
       case None => done = true
       case Some(m) => m match {
         case _: Wire.Hello =>
-          synchronized {
-            // reconnect truncation (aloc_sink_impl.py:322-344): a phase1-ok
-            // txn keeps its bytes pending phase 2; anything else drops the
-            // un-voted tail back to the last committed offset
-            val keepTo = txnState.values.collectFirst {
-              case (true, _, end) => end
-            }.getOrElse(lastCommitted)
-            output = output.take(keepTo.toInt)
-          }
           reply(Wire.Ok(500))
-        case Wire.Notify(sid, _, _) =>
-          reply(Wire.NotifyAck(success = true, sid, synchronized(lastCommitted)))
+        case Wire.Notify(sid, stream, _) =>
+          curStream = stream
+          synchronized {
+            // reconnect truncation (aloc_sink_impl.py:322-344), per
+            // stream: a phase1-ok txn keeps its bytes pending phase 2;
+            // anything else drops the un-voted tail back to the last
+            // committed offset
+            val keepTo = txnState.collect {
+              case (txn, (true, _, end)) if streamOf(txn) == stream => end
+            }.maxOption.getOrElse(committed.getOrElse(stream, 0L))
+            outputs += stream ->
+              outputs.getOrElse(stream, Array.emptyByteArray).take(keepTo.toInt)
+          }
+          reply(Wire.NotifyAck(success = true, sid,
+            synchronized(committed.getOrElse(stream, 0L))))
         case msg: Wire.Message if msg.streamId == 0L =>
           TwoPc.unwrap(msg).get match {
             case TwoPc.ListUncommitted(rtag) =>
-              reply(TwoPc.carrier(
-                TwoPc.ReplyUncommitted(rtag, synchronized(txnState.keys.toSeq))))
+              // per-connection stream scope, like one aloc_sink instance
+              reply(TwoPc.carrier(TwoPc.ReplyUncommitted(rtag, synchronized(
+                txnState.keys.filter(t => curStream == null ||
+                  streamOf(t) == curStream).toSeq))))
             case TwoPc.Phase1(txn, wl) =>
               val (sid, start, end) = wl.head
               val vote = synchronized {
-                val ok = sid == 1L && start == lastCommitted &&
-                  start <= end && end <= output.length && !voteRollbackNext
+                val streamCommitted = committed.getOrElse(curStream, 0L)
+                val tell = outputs.getOrElse(curStream, Array.emptyByteArray).length
+                val ok = sid == 1L && start == streamCommitted &&
+                  start <= end && end <= tell && !voteRollbackNext
                 voteRollbackNext = false
                 txnState += txn -> (ok, start, end)
                 ok
@@ -89,8 +121,10 @@ final class MockAlocSink {
             case TwoPc.Phase2(txn, commit) =>
               synchronized {
                 txnState.get(txn).foreach { case (_, start, end) =>
-                  if (commit) lastCommitted = end
-                  else output = output.take(start.toInt)
+                  val stream = streamOf(txn)
+                  if (commit) committed += stream -> end
+                  else outputs += stream ->
+                    outputs.getOrElse(stream, Array.emptyByteArray).take(start.toInt)
                   txnState -= txn
                 }
               }
@@ -99,12 +133,14 @@ final class MockAlocSink {
           }
         case msg: Wire.Message =>
           synchronized {
-            assert(msg.messageId == output.length,
-              s"message_id ${msg.messageId} != output tell ${output.length}")
-            output = output ++ msg.payload
+            val cur = outputs.getOrElse(curStream, Array.emptyByteArray)
+            assert(msg.messageId == cur.length,
+              s"[$curStream] message_id ${msg.messageId} != output tell ${cur.length}")
+            outputs += curStream -> (cur ++ msg.payload)
           }
         case Wire.Eos(sid) =>
-          reply(Wire.Ack(1, Seq((sid, synchronized(lastCommitted)))))
+          reply(Wire.Ack(1, Seq((sid,
+            synchronized(committed.getOrElse(curStream, 0L))))))
         case other => throw new IOException(s"sink got $other")
       }
     }
@@ -275,6 +311,62 @@ class TwoPcSinkSpec extends AnyFunSuite {
       }
       c2.close()
     } finally sink.close()
+  }
+
+  test("sharded sink: one connection per partition, mid-txn kill on one, exactly-once per stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sink = new MockAlocSink
+    val root = Files.createTempDirectory("twopc_shard")
+    TwoPcSink.resetClients()
+    def batch(tag: String) = spark.range(0, 40)
+      .select($"id".as("k"),
+        concat(lit(tag + "-"), $"id".cast("string"), lit("."))
+          .cast("binary").as("b"))
+    // expected per-stream bytes: replay the writer's deterministic
+    // partitioning (hash(k) into 2, sorted by (k, b)) independently
+    def expect(tag: String): Map[Int, Array[Byte]] =
+      batch(tag).repartition(2, $"k").sortWithinPartitions($"k", $"b")
+        .select($"b").rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          Iterator((pid, it.map(_.getAs[Array[Byte]](0))
+            .foldLeft(Array.emptyByteArray)(_ ++ _)))
+        }.collect().toMap
+    val expA = expect("a"); val expB = expect("b")
+    assert(expA(0).nonEmpty && expA(1).nonEmpty, "both partitions need rows")
+    val writer = TwoPcSink.shardedForeachBatchWriter("127.0.0.1", sink.port,
+      "shard", root.toString, "b", "k", numPartitions = 2)
+    try {
+      writer(batch("a"), 0L)
+      awaitCond("batch 0 committed on both streams") {
+        sink.outputBytes("shard-p0").sameElements(expA(0)) &&
+          sink.outputBytes("shard-p1").sameElements(expA(1))
+      }
+      // mid-txn kill on ONE partition: p1's client crashes after its
+      // phase-1 vote (decision never logged); p0 is untouched
+      val p1 = TwoPcSink.cachedClient("shard-p1")
+        .getOrElse(fail("no cached client for shard-p1"))
+      p1.crashAfterPhase1 = true
+      intercept[org.apache.spark.SparkException] { writer(batch("b"), 1L) }
+      p1.crashAfterPhase1 = false
+      // whole-engine restart: fresh clients must replay their per-
+      // partition txn logs (p0 either committed batch 1 before the job
+      // died — replay skips — or not — replay re-sends; p1 must abort
+      // its leftover phase1-ok txn and re-send. Either way: exactly once
+      // per stream.)
+      TwoPcSink.resetClients()
+      writer(batch("b"), 1L)
+      awaitCond("batch 1 exactly once on both streams") {
+        sink.outputBytes("shard-p0").sameElements(expA(0) ++ expB(0)) &&
+          sink.outputBytes("shard-p1").sameElements(expA(1) ++ expB(1)) &&
+          sink.uncommitted.isEmpty
+      }
+      // p1's crashed txn really went through the abort-then-recommit path
+      assert(sink.phase2Log.synchronized(
+        sink.phase2Log.contains(("shard-p1:c_id=1", false))))
+      assert(sink.phase2Log.synchronized(
+        sink.phase2Log.contains(("shard-p1:c_id=1", true))))
+    } finally { TwoPcSink.resetClients(); sink.close() }
   }
 
   test("streaming end-to-end: mid-txn kill + restart from checkpoint, exactly once") {
