@@ -30,20 +30,32 @@ object Sources {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** Events table with `ts` normalized to TimestampType. The raw column is
-    * parquet TIMESTAMP(NANOS) (read as long nanos via
-    * `spark.sql.legacy.parquet.nanosAsLong`); nanos → micros is exact
-    * integer division, matching engines that truncate ns to µs.
+  /** Normalizes an event-time `ts` column regardless of how the Spark
+    * version at hand surfaced parquet TIMESTAMP(NANOS):
+    *
+    *   - Spark ≤4.0 with `spark.sql.legacy.parquet.nanosAsLong`: the column
+    *     reads as raw long nanos → truncate to µs (exact integer division,
+    *     matching engines that truncate ns to µs) and build a timestamp.
+    *   - Spark ≥4.1 (flag removed): the column infers as TIMESTAMP_NTZ —
+    *     already time-typed, leave it (session TZ is pinned to UTC so NTZ
+    *     and instant semantics coincide for our data).
+    *
+    * Works on batch AND streaming DataFrames; every consumer of `events.ts`
+    * must go through this (or [[events]]) rather than assuming a raw type.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+  def normalizeTs(raw: DataFrame, col: String = "ts"): DataFrame =
+    raw.schema(col).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn(col, org.apache.spark.sql.functions
+          .expr(s"timestamp_micros($col div 1000)"))
       case _ => raw
     }
-  }
+
+  /** Events table with `ts` normalized to a timestamp type; see
+    * [[normalizeTs]] for the per-Spark-version shapes handled.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -143,11 +143,11 @@ class StreamingSpec extends AnyFunSuite {
       .qTumbling(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // same computation as a file stream (complete mode, single batch)
-    val stream = spark.readStream.schema(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Sources.normalizeTs(
+      spark.readStream.schema(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001"))
     val windowed = graft.operators.Windows.withTumbling(stream, $"ts", 3600)
       .groupBy($"event_type", $"window_start")
       .agg(count(lit(1)).as("n_events"))
@@ -169,11 +169,11 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // streaming: the built-in window() with the same range/slide
-    val stream = spark.readStream.schema(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Sources.normalizeTs(
+      spark.readStream.schema(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001"))
     val windowed = stream
       .groupBy($"event_type", window($"ts", "3600 seconds", "1800 seconds"))
       .agg(count(lit(1)).as("n"))
@@ -202,11 +202,11 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), min(epochS($"ts")).as("start_s"))
       .select($"user_id", $"start_s", $"n")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val stream = spark.readStream.schema(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Sources.normalizeTs(
+      spark.readStream.schema(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001"))
       .withColumn("ts2", timestamp_seconds(epochS($"ts")))
     val sessioned = stream
       .groupBy($"user_id", session_window($"ts2", "3600 seconds"))
