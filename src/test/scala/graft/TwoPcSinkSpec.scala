@@ -415,4 +415,135 @@ class TwoPcSinkSpec extends AnyFunSuite {
     c2.close()
     sink.close()
   }
+
+  test("sharded streaming: shards torn in DIFFERENT 2PC windows of the same " +
+      "batch compose to whole-batch exactly-once across checkpoint restarts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sc = spark.sqlContext
+    val sink = new MockAlocSink
+    val root = Files.createTempDirectory("twopc_sstream")
+    val ckpt = Files.createTempDirectory("twopc_sstream_ckpt").toString
+    TwoPcSink.resetClients()
+    val input = MemoryStream[(Long, String)]
+    val P = 3
+
+    def rows(tag: String): Seq[(Long, String)] =
+      (0L until 30L).map(i => (i, s"$tag-$i."))
+    // expected per-stream bytes: replay the writer's deterministic
+    // partitioning (hash(k) into 3, sorted by (k, b)) independently
+    def expect(tag: String): Map[Int, Array[Byte]] =
+      rows(tag).toDF("k", "v").select($"k", $"v".cast("binary").as("b"))
+        .repartition(P, $"k").sortWithinPartitions($"k", $"b")
+        .select($"b").rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          Iterator((pid, it.map(_.getAs[Array[Byte]](0))
+            .foldLeft(Array.emptyByteArray)(_ ++ _)))
+        }.collect().toMap
+    val expA = expect("a"); val expB = expect("b"); val expC = expect("c")
+    assert((0 until P).forall(p => expA(p).nonEmpty && expB(p).nonEmpty),
+      "every shard needs rows in every batch")
+
+    def startQ() = input.toDS().toDF("k", "v")
+      .select($"k", $"v".cast("binary").as("b"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(TwoPcSink.shardedForeachBatchWriter("127.0.0.1",
+        sink.port, "sstream", root.toString, "b", "k", numPartitions = P))
+      .start()
+    def client(p: Int): TwoPcSinkClient =
+      TwoPcSink.cachedClient(s"sstream-p$p")
+        .getOrElse(fail(s"no cached client for sstream-p$p"))
+    def logLines(p: Int): Seq[String] = {
+      val f = root.resolve(s"p$p").resolve(s"txnlog-sstream-p$p")
+      if (Files.exists(f)) Files.readAllLines(f, StandardCharsets.UTF_8)
+        .asScala.toSeq
+      else Seq.empty
+    }
+    // durable proof each armed window actually fired for batch 1: an armed
+    // client throws AT its window, so its log reaching that point while
+    // armed means it died inside the window, never past it
+    def p0TornPreDecision: Boolean =
+      logLines(0).exists(_.startsWith("1 sstream-p0:c_id=1 ")) &&
+        !logLines(0).contains("2 sstream-p0:c_id=1 commit")
+    def p2TornPostDecision: Boolean =
+      logLines(2).contains("2 sstream-p2:c_id=1 commit")
+
+    try {
+      val q1 = startQ()
+      input.addData(rows("a"): _*)
+      q1.processAllAvailable()
+      awaitCond("batch 0 committed on all shards") {
+        (0 until P).forall(p =>
+          sink.outputBytes(s"sstream-p$p").sameElements(expA(p)))
+      }
+      // arm BOTH torn windows for the SAME batch: p0 dies after its
+      // phase-1 vote (pre-decision), p2 dies right after its commit
+      // decision is durably logged but before phase 2 reaches the sink
+      // (post-decision). p1 is untouched. The per-stream clients are
+      // cached per JVM, so the armed flags survive query restarts.
+      client(0).crashAfterPhase1 = true
+      client(2).crashAfterDecisionLog = true
+      input.addData(rows("b"): _*)
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(!q1.isActive)
+
+      // The first thrower fails the job and Spark may cancel the OTHER
+      // armed shard before it reaches its own window. Keep restarting from
+      // the checkpoint (Spark replays batch 1) with the unexercised hooks
+      // still armed, disarming each as its durable txn log proves it fired
+      // — each restart exercises at least one armed window, so this takes
+      // at most 2 failing attempts before the clean pass.
+      var attempts = 0
+      var clean = false
+      var p0Fired = false // once p0 recovers, its log gains a commit line,
+      var p2Fired = false // so remember tear evidence when first observed
+      while (!clean) {
+        attempts += 1
+        assert(attempts <= 5, "torn windows never exercised")
+        if (!p0Fired && p0TornPreDecision) {
+          p0Fired = true; client(0).crashAfterPhase1 = false
+        }
+        if (!p2Fired && p2TornPostDecision) {
+          p2Fired = true; client(2).crashAfterDecisionLog = false
+        }
+        val armed =
+          client(0).crashAfterPhase1 || client(2).crashAfterDecisionLog
+        val q = startQ()
+        if (armed) {
+          intercept[Exception] { q.processAllAvailable() }
+          assert(!q.isActive)
+        } else {
+          q.processAllAvailable()
+          awaitCond("replayed batch 1 exactly once on every shard") {
+            (0 until P).forall(p => sink.outputBytes(s"sstream-p$p")
+              .sameElements(expA(p) ++ expB(p))) && sink.uncommitted.isEmpty
+          }
+          // stream continues normally past the recovered batch
+          input.addData(rows("c"): _*)
+          q.processAllAvailable()
+          awaitCond("batch 2 committed on every shard") {
+            (0 until P).forall(p => sink.outputBytes(s"sstream-p$p")
+              .sameElements(expA(p) ++ expB(p) ++ expC(p)))
+          }
+          q.stop()
+          clean = true
+        }
+      }
+      // both windows were genuinely exercised on batch 1 …
+      assert(p0Fired && p2Fired)
+      // … and recovered through the right phase-2 paths: p0's leftover
+      // phase-1 txn aborted then re-sent + committed; p2's logged decision
+      // re-sent as commit with NO abort ever issued for it
+      sink.phase2Log.synchronized {
+        assert(sink.phase2Log.contains(("sstream-p0:c_id=1", false)))
+        assert(sink.phase2Log.contains(("sstream-p0:c_id=1", true)))
+        assert(sink.phase2Log.contains(("sstream-p2:c_id=1", true)))
+        assert(!sink.phase2Log.contains(("sstream-p2:c_id=1", false)))
+      }
+      // the commit decision for the post-decision shard is durable exactly
+      // once — replays re-SEND phase 2, they never re-DECIDE
+      assert(logLines(2).count(_ == "2 sstream-p2:c_id=1 commit") == 1)
+    } finally { TwoPcSink.resetClients(); sink.close() }
+  }
 }
