@@ -65,16 +65,46 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
+    // optional per-query wall cap (0 = off). Scale probes (sf1) need it:
+    // a data-dependent blowup (quadratic candidate join) should land in
+    // the artifact as TIMEOUT, not wedge the whole run invisibly. The
+    // query runs in its own thread under a job group so the cap can
+    // cancel its Spark jobs and the run can move on.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toInt
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
-      catch {
+      def elapsed = (System.nanoTime() - t0) / 1e9
+      try {
+        if (queryTimeoutSec > 0) {
+          import scala.concurrent.{Await, Future, TimeoutException}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration._
+          val group = s"bench-$name"
+          val f = Future { // job group is thread-local: set it IN the thread
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            try fn(spark, sfDir).count()
+            finally spark.sparkContext.clearJobGroup()
+          }
+          try Await.result(f, queryTimeoutSec.seconds)
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              System.err.println(
+                s"[bench] $name TIMEOUT after ${queryTimeoutSec}s (jobs cancelled)")
+              return (elapsed, Some(s"Timeout${queryTimeoutSec}s"))
+          }
+        } else fn(spark, sfDir).count()
+        (elapsed, None)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          ((System.nanoTime() - t0) / 1e9, Some(e.getClass.getSimpleName))
+          (elapsed, Some(e.getClass.getSimpleName))
       }
     }
+    val benchT0 = System.nanoTime()
+    var benchIdx = 0
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
@@ -85,6 +115,12 @@ object Bench {
         best = math.min(best, t)
         r += 1
       }
+      benchIdx += 1
+      // progress to stderr (stdout stays the single JSON line): a long
+      // scale-probe run is observable query by query
+      System.err.println(f"[bench] ${benchIdx}%3d/${selected.size} $name%-28s " +
+        f"${best}%8.3f s${err.map(" ERR:" + _).getOrElse("")}  " +
+        f"(t+${(System.nanoTime() - benchT0) / 1e9}%.0f s)")
       (name, best, err)
     }
     // Contention back-stop (the gate can't see load that ARRIVES mid-run):

@@ -19,9 +19,13 @@ import graft.sources.Sources
   * Scale shape: one token scan feeds both the unigram and (via the
   * tail-zip) bigram histograms; the joins attach per-word counts to the
   * bigram table (two broadcast-or-shuffle hash joins on word). Integer
-  * magnitudes: score fits i64 while c_xy·N_u²·S < 2⁶³ — at web scale
-  * hold counts per shard or drop S; the ORDERING needs only the
-  * quotient, not the products, so a HUGEINT-free rescale suffices.
+  * magnitudes: the PRODUCT c_xy·N_u²·S overflows i64 already at ~10⁷
+  * total tokens (caught by the sf1 scale probe), so both engines compute
+  * it in exact wide integers — DECIMAL(38,0) here, HUGEINT in DuckDB —
+  * and only the QUOTIENT is narrowed back to i64, which it always fits:
+  * score ≤ N_u²·S/(N_b·minCount²) ≈ N_u·S/minCount², ~4·10¹⁴ even at a
+  * 10¹²-token corpus. 38 digits bound the product through N_u ≈ 10¹⁵
+  * tokens; past that, shard the counts.
   */
 object Colloc {
 
@@ -56,7 +60,8 @@ object Colloc {
         .join(uni.select($"w".as("w2"), $"c".as("c_y")), "w2")
         .crossJoin(broadcast(totals))
         .withColumn("score",
-          expr(s"c_xy * n_u * n_u * $S div (n_b * c_x * c_y)"))
+          expr(s"cast(c_xy as decimal(38,0)) * n_u * n_u * $S" +
+            s" div (cast(n_b as decimal(38,0)) * c_x * c_y)"))
         .orderBy($"score".desc, $"pr")
         .limit(k)
         .withColumn("pos", row_number().over(w).cast("long"))
@@ -95,7 +100,7 @@ object Colloc {
          |scored AS (
          |  SELECT string_split(b.pr, ' ')[1] AS w1,
          |    string_split(b.pr, ' ')[2] AS w2, b.pr, b.c_xy,
-         |    CAST(b.c_xy * t.n_u * t.n_u * $S // (t.n_b * ux.c * uy.c) AS BIGINT) AS score
+         |    CAST(CAST(b.c_xy AS HUGEINT) * t.n_u * t.n_u * $S // (CAST(t.n_b AS HUGEINT) * ux.c * uy.c) AS BIGINT) AS score
          |  FROM big b
          |  CROSS JOIN totals t
          |  JOIN uni ux ON string_split(b.pr, ' ')[1] = ux.w
