@@ -24,6 +24,16 @@ object GraftSession {
     // handled by Sources.normalizeTs — kept only for older-Spark compat.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // ObjectHashAggregate (TypedImperativeAggregate: topk/topkd, sketches,
+    // collect_list) falls back to SORT-based aggregation after only 128
+    // distinct groups per task by default — which silently reintroduces a
+    // full sort of the pre-aggregation rows on exactly the stages the
+    // bounded-buffer aggregates exist to keep sort-free (measured: the
+    // k-NN join's 1.3×10⁸-pair candidate stage). Our aggregate buffers
+    // are small and bounded (k-entry heaps, fixed-width sketches), so a
+    // multi-million-group hash map is far cheaper than the sort.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (4 << 20).toString)
     .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

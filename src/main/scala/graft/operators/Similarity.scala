@@ -298,7 +298,8 @@ object Similarity {
     * assignment; each query explodes to its `nprobe` closest centroid
     * buckets; ONE shuffle join on `bucket` yields only same-bucket
     * candidate pairs (the pruning — candidates ≈ Q·nprobe·n/K instead of
-    * Q·n), and a per-query window keeps the top k by the same
+    * Q·n; salted so parallelism isn't capped at K buckets), and a bounded
+    * map-side top-k aggregate keeps the top k by the same
     * `cos DESC, id ASC` order as the exact path. Approximate by
     * construction (recall depends on nprobe/K), which is why [[knnJoin]]
     * only routes here when the caller explicitly provides the index.
@@ -308,33 +309,75 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       centroids: Seq[(Long, Array[Double])], nprobe: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "knnJoinIvf: no centroids")
     require(nprobe >= 1, "knnJoinIvf: nprobe must be >= 1")
-    graft.plans.VecCosine.register(emb.sparkSession)
-    val corpus = emb
+    val spark = emb.sparkSession
+    graft.plans.VecCosine.register(spark)
+    graft.plans.VecDot.register(spark)
+    graft.plans.TopKDoubleAgg.register(spark, nprobe)
+    graft.plans.TopKDoubleAgg.register(spark, k)
+    // Salt the bucket join: with few centroids (K < shuffle partitions) a
+    // plain join-on-bucket caps parallelism at K tasks and a hot bucket
+    // becomes a straggler. Corpus rows take a deterministic salt from
+    // their id; probe rows replicate across all salts (probe side is the
+    // small per-row payload multiplier: Q·nprobe·salts rows). Each
+    // (query, corpus) pair still meets exactly once — on the corpus row's
+    // one (bucket, salt).
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val salts = math.min(16, math.max(1, parts / centroids.size))
+    // The candidate fan-out happens INSIDE the join (each corpus row meets
+    // ~Q·nprobe/K probe rows), so when the probe side broadcasts, stage
+    // parallelism is the CORPUS side's partition count — a corpus that
+    // fits in a handful of input splits would run the 10⁸-pair stage on a
+    // handful of cores (measured: 15 s single-task vs ~1 s spread at sf1).
+    // Spread it first; a corpus already wider than the shuffle
+    // partitioning (the 100 TB case) is left where it lies.
+    val embSpread =
+      if (emb.rdd.getNumPartitions < parts) emb.repartition(parts) else emb
+    // Norm-precomputed cosine: `cos = dot/(‖a‖·‖b‖)` with the norms
+    // computed once per ROW (sqrt(vec_dot(v,v)) — the identical
+    // sequential fold), so the Q·nprobe·n/K candidate stage pays one
+    // multiply-add per element instead of three. Bit-identical to the
+    // one-pass VecCosine on the fixed-dim null-free embedding contract.
+    val corpus = embSpread
       .select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_nv"))
       .withColumn("bucket", argmaxCosine(col("_nv"), centroids))
+      .withColumn("_salt", pmod(hash(col("_nid")), lit(salts)))
+      .withColumn("_nn", sqrt(graft.plans.VecDot.dot(col("_nv"), col("_nv"))))
     val cArr = array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), typedLit(v.toSeq).as("cv"))
     }: _*)
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("_ccos").desc, col("_c.cid"))
+    // nprobe closest centroids per query via the bounded-heap aggregate:
+    // the explode's Q×K rows collapse map-side to one k-bounded buffer per
+    // query, so only Q rows shuffle (a rank window would shuffle all Q×K).
+    // Same `_ccos DESC, cid ASC` order as the previous window form.
     val probes = queries
       .select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("_qv"))
       .withColumn("_c", explode(cArr))
       .withColumn("_ccos", graft.plans.VecCosine.cosine(col("_qv"), col("_c.cv")))
-      .withColumn("_rk", row_number().over(probeW))
-      .filter(col("_rk") <= nprobe)
-      .select(col("query_id"), col("_qv"), col("_c.cid").as("bucket"))
-    val candidates = corpus.join(probes, "bucket")
+      .groupBy(col("query_id"))
+      .agg(first(col("_qv")).as("_qv"),
+        graft.plans.TopKDoubleAgg.topkd(nprobe, col("_ccos"), col("_c.cid")).as("_tk"))
+      .select(col("query_id"), col("_qv"), explode(col("_tk.id")).as("bucket"))
+      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+      .withColumn("_qn", sqrt(graft.plans.VecDot.dot(col("_qv"), col("_qv"))))
+    // Project vectors away the moment the cosine is computed — the top-k
+    // reduction sees only (query_id, id, cos) rows, never the vectors.
+    val candidates = corpus.join(probes, Seq("bucket", "_salt"))
       .filter(not(lit(excludeSelf) && col("_nid") === col("query_id")))
-      .withColumn("cos", graft.plans.VecCosine.cosine(col("_nv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("_nid"))
-    candidates.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select(col("query_id"), col("_nid").as(idCol), col("cos"))
+      .select(col("query_id"), col("_nid"),
+        (graft.plans.VecDot.dot(col("_nv"), col("_qv")) /
+          (col("_nn") * col("_qn"))).as("cos"))
+    // Bounded top-k instead of a rank window: partial aggregation keeps a
+    // k-entry heap per query per map task, so the exchange carries at most
+    // partitions×Q×k entries instead of sorting every candidate pair.
+    // Identical output: merge of bounded top-k heaps IS the top-k of the
+    // union, ordered cos DESC, id ASC.
+    candidates
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKDoubleAgg.topkd(k, col("cos"), col("_nid")).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col("_e.id").as(idCol), col("_e.score").as("cos"))
   }
 
   private def knnJoinChunk(emb: DataFrame, idCol: String, vecCol: String,
