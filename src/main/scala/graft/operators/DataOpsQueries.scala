@@ -304,6 +304,37 @@ object DataOpsQueries {
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
   }
 
+  /** SAMPLED recall evaluation — the 100 TB form of [[qMinhashEval]]. The
+    * exact AllPairs ground truth is quadratic in near-dup pairs by
+    * construction, which is fine as an sf0.1 eval but not a corpus-scale
+    * protocol. Here the production LSH pipeline still runs over the FULL
+    * corpus (that part is linear-ish in documents), while the exact
+    * ground truth is computed only inside a deterministic 25 % id-hash
+    * sample (`doc_id % 4 = 0`) — pair work drops by sample² (16×) and the
+    * measured recall over sampled pairs is an unbiased estimate of
+    * corpus recall. Output: sampled-pair counts + estimated recall.
+    */
+  def qMinhashEvalSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
+      .select($"doc_a", $"doc_b")
+      .filter($"doc_a" % 4 === 0 && $"doc_b" % 4 === 0)
+    val sampled = docs.filter($"doc_id" % 4 === 0)
+    val exact = Dedup.jaccardPairs(sampled, "doc_id", "sh", Seq.empty, 0.5,
+      preHashed = true)
+      .select($"doc_a", $"doc_b")
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact_sample"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh_sample")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed_sample")))
+      .withColumn("recall_est",
+        when($"n_exact_sample" === 0, lit(null).cast("double"))
+          .otherwise(($"n_exact_sample" - $"n_missed_sample").cast("double") /
+            $"n_exact_sample"))
+  }
+
   /** Vocabulary-coverage curve (the tokenizer-design metric): rank terms
     * by corpus frequency and report, at power-of-ten vocab cuts and the
     * full vocabulary, the cumulative fraction of token mass covered
@@ -495,6 +526,7 @@ object DataOpsQueries {
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_minhash_eval" -> qMinhashEval,
+    "q_minhash_eval_sampled" -> qMinhashEvalSampled,
     "q_simhash_eval" -> qSimhashEval,
     "q_lsh_sweep" -> qLshSweep,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -689,6 +721,27 @@ object DataOpsQueries {
          |  (SELECT COUNT(*) FROM exact e LEFT JOIN mh_pairs m
          |     ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
          |   WHERE m.doc_a IS NULL) AS n_missed""".stripMargin,
+    "q_minhash_eval_sampled" ->
+      s"""WITH ${minhashChainSql(W)},
+         |exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+         |    AND 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
+         |lshs AS (
+         |  SELECT doc_a, doc_b FROM mh_pairs
+         |  WHERE doc_a % 4 = 0 AND doc_b % 4 = 0),
+         |c AS (
+         |  SELECT (SELECT COUNT(*) FROM exact) AS n_exact_sample,
+         |    (SELECT COUNT(*) FROM lshs) AS n_lsh_sample,
+         |    (SELECT COUNT(*) FROM exact e LEFT JOIN lshs m
+         |       ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+         |     WHERE m.doc_a IS NULL) AS n_missed_sample)
+         |SELECT n_exact_sample, n_lsh_sample, n_missed_sample,
+         |  CASE WHEN n_exact_sample = 0 THEN NULL
+         |    ELSE CAST(n_exact_sample - n_missed_sample AS DOUBLE)
+         |      / n_exact_sample END AS recall_est
+         |FROM c""".stripMargin,
     "q_ingest_dedup" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
