@@ -33,7 +33,7 @@ object GraftSession {
     // are small and bounded (k-entry heaps, fixed-width sketches), so a
     // multi-million-group hash map is far cheaper than the sort.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (4 << 20).toString)
+      sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", (4 << 20).toString))
     .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {
