@@ -419,8 +419,11 @@ object DataOpsQueries {
   def qIngestDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = withHashedShingles(s, dir)
-    Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
-      .filter(($"doc_a" % 2) =!= ($"doc_b" % 2))
+    // the new-vs-existing constraint is BLOCKING, not a report filter:
+    // pushed into the candidate posting join so same-side pairs (half of
+    // the quadratic candidate mass) are never generated at all
+    Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5, preHashed = true,
+      pairPredicate = Some(col("doc_id") % 2 =!= col("doc_id_b") % 2))
       .select(
         when($"doc_a" % 2 === 1, $"doc_a").otherwise($"doc_b").as("new_doc"),
         when($"doc_a" % 2 === 1, $"doc_b").otherwise($"doc_a").as("dup_of"),

@@ -60,7 +60,8 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
       bandCols: Seq[String], threshold: Double,
-      preHashed: Boolean = false): DataFrame = {
+      preHashed: Boolean = false,
+      pairPredicate: Option[Column] = None): DataFrame = {
     // the text→shingle→hash chain feeds the posting join AND both verify
     // sides — persist it once (size ~ corpus ids + hashed shingles).
     // preHashed: shingleCol is already a distinct array<bigint>.
@@ -70,13 +71,21 @@ object Dedup {
     val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
       .withColumn("_n", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try jaccardPairsOn(base, idCol, bandCols, threshold)
+    try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
       .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
     finally base.unpersist()
   }
 
+  /** `pairPredicate` — optional blocking constraint over the pair's two id
+    * columns (`idCol`, `${idCol}_b`), e.g. ingest-gate "new vs existing"
+    * parity or cross-source-only. Applied AT the candidate posting join,
+    * so excluded pairs never reach the distinct or the verify join —
+    * filtering after pair generation would pay the full quadratic
+    * candidate cost for pairs the caller then throws away.
+    */
   private def jaccardPairsOn(base: DataFrame, idCol: String,
-      bandCols: Seq[String], threshold: Double): DataFrame = {
+      bandCols: Seq[String], threshold: Double,
+      pairPredicate: Option[Column] = None): DataFrame = {
     // prefix-filtering (AllPairs): under a global element order, two sets
     // with J >= t must share an element within their first
     // n - ceil(t*n) + 1 elements — only prefix postings enter the join
@@ -87,7 +96,7 @@ object Dedup {
     val rhs = posts.toDF(posts.columns.map(c =>
       if (bandCols.contains(c) || c == "_h") c else s"${c}_b"): _*)
     val candidates = posts.join(rhs, bandCols :+ "_h")
-      .filter(col(idCol) < col(s"${idCol}_b"))
+      .filter(pairPredicate.foldLeft(col(idCol) < col(s"${idCol}_b"))(_ && _))
       .select(col(idCol), col(s"${idCol}_b"))
       .distinct()
     val aSide = base.select(col(idCol), col("_sh"), col("_n"))

@@ -195,6 +195,12 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(plan.contains("bucket"), plan.take(800))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // top-k must be the bounded-heap partial aggregate, never a rank
+    // window (a window would full-sort every candidate pair, vectors and
+    // all, on one partition per query-group)
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("partial_topkd"),
+      s"map-side partial topkd expected in:\n${plan.take(1200)}")
     // and the candidate fan-out is bucket-bounded: ≈ Q × (corpus/K) ×
     // nprobe, not Q × corpus
     val candBound = 300L * (400L / 4) * 2
