@@ -54,12 +54,32 @@ object GraphScaleBench {
       Graph.bfsLevelsShuffle(e, sources, maxDepth = 3).count()
     }
 
+    // triangles: the full past-the-gate chain (distributed degree-ordered
+    // orientation + adjacency-intersection count) on the UNDIRECTED view
+    val (triCount, triSec) = time {
+      // the hash wiring alone closes ~no triangles; union n/3 deterministic
+      // triples so the count proves the intersections actually fire
+      val triples = spark.range(nNodes / 3).select((col("id") * 3).as("t"))
+      val closing = triples.select($"t".as("src"), ($"t" + 1).as("dst"))
+        .union(triples.select(($"t" + 1).as("src"), ($"t" + 2).as("dst")))
+        .union(triples.select($"t".as("src"), ($"t" + 2).as("dst")))
+      val und = edges.union(closing)
+        .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+        .distinct()
+      val deg = und.select($"src".as("n"), $"dst")
+        .union(und.select($"dst".as("n"), $"src"))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      Graph.countTrianglesShuffle(Graph.orientShuffle(und, deg,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    }
+
     println(
       s"""{"metric":"graph_scale","n_edges":$nEdges,"n_nodes":$nNodes,""" +
         s""""edge_gate":${Graph.EdgeGate},""" +
         s""""pagerank_sec":${f"$prSec%.1f"},"pagerank_rows":$prRows,""" +
         s""""label_prop_sec":${f"$lpSec%.1f"},"label_prop_rows":$lpRows,""" +
-        s""""bfs_sec":${f"$bfsSec%.1f"},"bfs_rows":$bfsRows}""")
+        s""""bfs_sec":${f"$bfsSec%.1f"},"bfs_rows":$bfsRows,""" +
+        s""""triangles_sec":${f"$triSec%.1f"},"triangles":$triCount}""")
     spark.stop()
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.ExplainMode
 object PlanAudit {
   val Audited = Seq("q6_revenue", "q3_shipping_priority", "q5_local_volume",
     "q1_pricing_summary", "q_asof_join", "q_window_tumbling",
-    "q_dedup_ngram_jaccard", "q_ann_bruteforce",
+    "q_dedup_ngram_jaccard", "q_ann_bruteforce", "q_knn_join_ivf", "q_triangles", "q_ingest_dedup",
     "q_bloom_join", "q_seq_pack", "q_dedup_containment", "q_bm25",
     "q_funnel", "q_countmin",
     "q_ann_ivfpq", "q_bpe_train", "q_pagerank", "q_stratified_sample",
