@@ -39,7 +39,7 @@ object DataOpsQueries {
     * in graft.plans.ShingleHashes) — the DuckDB oracle reproduces the
     * chain hash-for-hash in SQL.
     */
-  private def withHashedShingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withHashedShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.plans.ShingleHashes.register(s, n = 3)
     Sources.documents(s, dir)
@@ -408,6 +408,33 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware dedup: same LSH-pairs → connected-components chain as
+    * [[qDedupCorpus]], but the survivor of each near-dup cluster is the
+    * HIGHEST-QUALITY member (longest `n_chars`, ties by lowest id) — the
+    * keep-the-best-copy policy a real training-corpus dedup wants, not
+    * keep-the-smallest-id. Selection is one `max(struct(quality, -id))`
+    * aggregate per cluster — codegen'd, map-side partial, no rank window —
+    * so at 100 TB the representative choice costs one narrow shuffle over
+    * cluster labels.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
+    val labels = Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val clustered = Sources.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"label", $"doc_id"))
+    val best = clustered.groupBy($"cluster")
+      .agg(max(struct($"n_chars", (-$"doc_id").as("_nid"))).as("_b"))
+      .select(($"_b._nid" * -1).as("doc_id"))
+    clustered.join(best, "doc_id")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Ingest-gate dedup: an incoming batch (odd doc ids) checked against
     * the existing corpus (even ids) — for every new document, the
     * existing document(s) it near-duplicates at J >= 0.5. Runs the same
@@ -521,6 +548,7 @@ object DataOpsQueries {
     "q_winnow_pairs" -> qWinnowPairs,
     "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_ingest_dedup" -> qIngestDedup,
     "q_dedup_exact" -> qDedupExact,
@@ -788,6 +816,28 @@ object DataOpsQueries {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM lbl WHERE id <> label)
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashChainSql(W)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(id, n) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.n = e.src),
+         |lbl AS (SELECT id, MIN(n) AS label FROM reach GROUP BY id),
+         |cl AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    coalesce(l.label, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |mx AS (SELECT cluster, MAX(n_chars) AS mxc FROM cl GROUP BY cluster),
+         |keep AS (
+         |  SELECT cl.cluster, MIN(cl.doc_id) AS doc_id
+         |  FROM cl JOIN mx ON cl.cluster = mx.cluster AND cl.n_chars = mx.mxc
+         |  GROUP BY cl.cluster)
+         |SELECT c.doc_id, c.lang, c.n_chars
+         |FROM cl c JOIN keep k ON c.doc_id = k.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q_lsh_sweep" -> lshSweepOracle,
     "q_simhash_eval" ->
       s"""WITH t AS (
