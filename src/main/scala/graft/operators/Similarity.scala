@@ -344,21 +344,10 @@ object Similarity {
       .withColumn("bucket", argmaxCosine(col("_nv"), centroids))
       .withColumn("_salt", pmod(hash(col("_nid")), lit(salts)))
       .withColumn("_nn", sqrt(graft.plans.VecDot.dot(col("_nv"), col("_nv"))))
-    val cArr = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), typedLit(v.toSeq).as("cv"))
-    }: _*)
-    // nprobe closest centroids per query via the bounded-heap aggregate:
-    // the explode's Q×K rows collapse map-side to one k-bounded buffer per
-    // query, so only Q rows shuffle (a rank window would shuffle all Q×K).
-    // Same `_ccos DESC, cid ASC` order as the previous window form.
-    val probes = queries
-      .select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("_qv"))
-      .withColumn("_c", explode(cArr))
-      .withColumn("_ccos", graft.plans.VecCosine.cosine(col("_qv"), col("_c.cv")))
-      .groupBy(col("query_id"))
-      .agg(first(col("_qv")).as("_qv"),
-        graft.plans.TopKDoubleAgg.topkd(nprobe, col("_ccos"), col("_c.cid")).as("_tk"))
-      .select(col("query_id"), col("_qv"), explode(col("_tk.id")).as("bucket"))
+    val probes = probeBuckets(
+      queries.select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).as("_qv")),
+      "query_id", "_qv", centroids, nprobe)
       .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
       .withColumn("_qn", sqrt(graft.plans.VecDot.dot(col("_qv"), col("_qv"))))
     // Project vectors away the moment the cosine is computed — the top-k
@@ -378,6 +367,34 @@ object Similarity {
       .agg(graft.plans.TopKDoubleAgg.topkd(k, col("cos"), col("_nid")).as("_tk"))
       .select(col("query_id"), explode(col("_tk")).as("_e"))
       .select(col("query_id"), col("_e.id").as(idCol), col("_e.score").as("cos"))
+  }
+
+  /** The `nprobe` closest centroid buckets per row — one output row per
+    * (row, probed bucket), all other columns carried through. The explode's
+    * rows×K intermediates collapse map-side to one nprobe-bounded heap per
+    * row ([[graft.plans.TopKDoubleAgg]]), so only `rows` rows shuffle — a
+    * rank window would shuffle all rows×K. Order: `cos DESC, cid ASC`.
+    * Shared by the IVF-routed k-NN join and the streaming semantic dedup.
+    */
+  def probeBuckets(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.VecCosine.register(spark)
+    graft.plans.TopKDoubleAgg.register(spark, nprobe)
+    val cArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v.toSeq).as("cv"))
+    }: _*)
+    val carried = df.columns.filterNot(_ == idCol)
+    df
+      .withColumn("_c", explode(cArr))
+      .withColumn("_ccos", graft.plans.VecCosine.cosine(col(vecCol), col("_c.cv")))
+      .groupBy(col(idCol))
+      .agg(first(col(carried.head)).as(carried.head),
+        (carried.tail.map(c => first(col(c)).as(c)) :+
+          graft.plans.TopKDoubleAgg.topkd(nprobe, col("_ccos"), col("_c.cid"))
+            .as("_tk")): _*)
+      .select((col(idCol) +: carried.map(col)) :+
+        explode(col("_tk.id")).as("bucket"): _*)
   }
 
   private def knnJoinChunk(emb: DataFrame, idCol: String, vecCol: String,
