@@ -435,6 +435,34 @@ object DataOpsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-safe corpus split: near-dup CLUSTERS (LSH pairs → connected
+    * components) are the unit of assignment, so two near-identical
+    * documents can never land on opposite sides of a train/test boundary —
+    * the split-leakage failure mode a doc-id split invites the moment the
+    * corpus contains duplicates. Deterministic `cluster % 10` → 80/10/10;
+    * reports per-split doc counts, distinct clusters, and char mass.
+    */
+  def qSplitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
+      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
+    val labels = Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", "doc_id")
+    Sources.documents(s, dir)
+      .select($"doc_id", $"n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"label", $"doc_id"))
+      .withColumn("split",
+        when($"cluster" % 10 < 8, lit("train"))
+          .when($"cluster" % 10 === 8, lit("valid"))
+          .otherwise(lit("test")))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster").as("n_clusters"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
   /** Ingest-gate dedup: an incoming batch (odd doc ids) checked against
     * the existing corpus (even ids) — for every new document, the
     * existing document(s) it near-duplicates at J >= 0.5. Runs the same
@@ -549,6 +577,7 @@ object DataOpsQueries {
     "q_fingerprint_winnow" -> qFingerprintWinnow,
     "q_dedup_corpus" -> qDedupCorpus,
     "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_ingest_dedup" -> qIngestDedup,
     "q_dedup_exact" -> qDedupExact,
@@ -838,6 +867,29 @@ object DataOpsQueries {
          |SELECT c.doc_id, c.lang, c.n_chars
          |FROM cl c JOIN keep k ON c.doc_id = k.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${minhashChainSql(W)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(id, n) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.n = e.src),
+         |lbl AS (SELECT id, MIN(n) AS label FROM reach GROUP BY id),
+         |cl AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    coalesce(l.label, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+         |sp AS (
+         |  SELECT doc_id, n_chars, cluster,
+         |    CASE WHEN cluster % 10 < 8 THEN 'train'
+         |      WHEN cluster % 10 = 8 THEN 'valid' ELSE 'test' END AS split
+         |  FROM cl)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT cluster) AS n_clusters,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "q_lsh_sweep" -> lshSweepOracle,
     "q_simhash_eval" ->
       s"""WITH t AS (
