@@ -19,23 +19,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * concurrent map of per-query buffers, summaries are computed on read.
   */
 final class MetricsCollector extends StreamingQueryListener {
-
-  final case class BatchSample(
-      batchId: Long,
-      inputRows: Long,
-      processedRowsPerSec: Double,
-      batchDurationMs: Long,
-      stateRows: Long,
-      watermark: String)
-
-  final case class QuerySummary(
-      name: String,
-      nBatches: Long,
-      totalInputRows: Long,
-      maxStateRows: Long,
-      meanBatchMs: Double,
-      maxBatchMs: Long,
-      lastWatermark: String)
+  import MetricsCollector.{BatchSample, QuerySummary}
 
   private val samples = TrieMap.empty[String, ArrayBuffer[BatchSample]]
 
@@ -80,6 +64,25 @@ final class MetricsCollector extends StreamingQueryListener {
 }
 
 object MetricsCollector {
+  // companion scope (not class-nested): pattern matches on these are
+  // exact — no unverifiable outer-instance reference in the type test
+  final case class BatchSample(
+      batchId: Long,
+      inputRows: Long,
+      processedRowsPerSec: Double,
+      batchDurationMs: Long,
+      stateRows: Long,
+      watermark: String)
+
+  final case class QuerySummary(
+      name: String,
+      nBatches: Long,
+      totalInputRows: Long,
+      maxStateRows: Long,
+      meanBatchMs: Double,
+      maxBatchMs: Long,
+      lastWatermark: String)
+
   /** Attach a fresh collector to the session's streams. */
   def attach(spark: SparkSession): MetricsCollector = {
     val c = new MetricsCollector
