@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_cosine", "vec_cosine(array<float>, array<float>) - one-pass cosine similarity") {
       e => VecCosine(e.head, e(1))
     }
+    inject("vec_dot", "vec_dot(array<float>, array<float>) - one-pass dot product (norm-precomputed cosine building block)") {
+      e => VecDot(e.head, e(1))
+    }
+    inject("topkd", "topkd(double score, bigint id) - exact bounded-heap top-k aggregate (double score)") {
+      e => TopKDoubleAgg(e.head, e(1), 10).toAggregateExpression()
+    }
     inject("adjacent_pairs", "adjacent_pairs(array<string>) - space-joined adjacent token pairs") {
       e => AdjacentPairs(e.head)
     }

@@ -29,7 +29,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(token_hashes('one one two')) AS ntok,
           |  size(sign_proj_keys(array(CAST(1.0 AS FLOAT)))) AS nkeys,
           |  vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
-          |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+          |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+          |  vec_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+          |          array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS dot
           |""".stripMargin).head
       assert(row.getLong(0) != 0L)
       assert(row.getLong(1) == 5L)   // single hash 5 votes its own bits
@@ -37,11 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(3) == 3)     // duplicates kept
       assert(row.getInt(4) == 8)     // 8 band keys
       assert(math.abs(row.getDouble(5) - 1.0) < 1e-12)
+      assert(row.getDouble(6) == 23.0)
       val aggs = spark.sql(
-        """SELECT size(minhash_sig(h)) AS sig, hll_distinct(h) AS hll
+        """SELECT size(minhash_sig(h)) AS sig, hll_distinct(h) AS hll,
+          |  topkd(CAST(h AS DOUBLE), h) AS tk
           |FROM VALUES (CAST(1 AS BIGINT)), (2), (3), (2) t(h)""".stripMargin).head
       assert(aggs.getInt(0) == 64)
       assert(aggs.getLong(1) == 3L)
+      // topkd: score desc with id-asc ties — (3,3),(2,2),(2,2),(1,1)
+      val tk = aggs.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(tk == Seq((3.0, 3L), (2.0, 2L), (2.0, 2L), (1.0, 1L)), tk)
     } finally spark.stop()
   }
 }
