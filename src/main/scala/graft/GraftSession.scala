@@ -31,7 +31,12 @@ object GraftSession {
     // bounded-buffer aggregates exist to keep sort-free (measured: the
     // k-NN join's 1.3×10⁸-pair candidate stage). Our aggregate buffers
     // are small and bounded (k-entry heaps, fixed-width sketches), so a
-    // multi-million-group hash map is far cheaper than the sort.
+    // multi-million-group hash map is far cheaper than the sort. Caveat:
+    // collect_list/collect_set also plan as ObjectHashAggregate and are
+    // NOT bounded — a job whose collect groups are both huge-cardinality
+    // AND long-listed should dial this back via SPARK_GRAFT_OHA_FALLBACK
+    // (sort-based spills; the hash map holds every in-flight buffer).
+    // A/B at sf1 showed no regression for this repo's collect sites.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", (4 << 20).toString))
     .config("spark.ui.enabled", "false")
