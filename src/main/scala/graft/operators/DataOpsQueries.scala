@@ -640,12 +640,18 @@ object DataOpsQueries {
        |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
        |  FROM documents),
        |ne AS (SELECT doc_id, hs FROM hashed WHERE len(hs) > 0),
+       |sig0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      list_min(list_filter(hs, h -> h % 64 = i))) AS m
+       |  FROM ne),
        |sig AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 64), i ->
-       |      coalesce(list_min(list_filter(hs, h -> h % 64 = i)),
-       |               list_min(hs) + i)) AS sg
-       |  FROM ne),
+       |      (list_filter(list_transform(range(0, 64), j ->
+       |         m[CAST((i + j) % 64 + 1 AS BIGINT)]),
+       |        v -> v IS NOT NULL))[1]) AS sg
+       |  FROM sig0),
        |exact AS (
        |  SELECT COUNT(*) AS n_exact
        |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
@@ -667,12 +673,18 @@ object DataOpsQueries {
        |  SELECT doc_id, list_distinct(list_transform(${shingleSql(w)}, s -> ${md("s")})) AS hs
        |  FROM documents),
        |ne AS (SELECT doc_id, hs FROM hashed WHERE len(hs) > 0),
+       |sig0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      list_min(list_filter(hs, h -> h % 64 = i))) AS m
+       |  FROM ne),
        |sig AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 64), i ->
-       |      coalesce(list_min(list_filter(hs, h -> h % 64 = i)),
-       |               list_min(hs) + i)) AS sg
-       |  FROM ne),
+       |      (list_filter(list_transform(range(0, 64), j ->
+       |         m[CAST((i + j) % 64 + 1 AS BIGINT)]),
+       |        v -> v IS NOT NULL))[1]) AS sg
+       |  FROM sig0),
        |banded AS (
        |  SELECT doc_id, t.bb, list_slice(sg, CAST(t.bb*4+1 AS BIGINT), CAST(t.bb*4+4 AS BIGINT)) AS bk
        |  FROM sig CROSS JOIN range(0, 16) t(bb)),

@@ -172,12 +172,14 @@ object Dedup {
     val bucket = pmod(h, lit(numHashes))
     hashedRows.groupBy(col(idCol))
       .agg(min(when(bucket === 0, h)).as("raw_0"),
-        ((1 until numHashes).map(i =>
-          min(when(bucket === i, h)).as(s"raw_$i")) :+
-          min(h).as("_gmin")): _*)
+        (1 until numHashes).map(i =>
+          min(when(bucket === i, h)).as(s"raw_$i")): _*)
       .select(col(idCol) +:
         (0 until numHashes).map(i =>
-          coalesce(col(s"raw_$i"), col("_gmin") + i).as(s"mh_$i")): _*)
+          // rotation densification: first non-empty bucket scanning
+          // forward from i (matches MinHashAgg)
+          coalesce((0 until numHashes).map(j =>
+            col(s"raw_${(i + j) % numHashes}")): _*).as(s"mh_$i")): _*)
   }
 
   /** LSH candidate pairs: band the signature, bucket-join on

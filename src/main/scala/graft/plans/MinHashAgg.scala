@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * before the shuffle exactly like any algebraic aggregate. Replaces the
   * `numHashes`-separate-min-aggregates formulation with one buffer and
   * one pass (semantics identical to [[graft.operators.Dedup.minhashSignature]]:
-  * bucket = pmod(h, numHashes), empty buckets densified as gmin + i).
+  * bucket = pmod(h, numHashes), empty buckets filled by rotation
+  * densification — borrow the first non-empty bucket scanning forward).
   */
 case class MinHashAgg(child: Expression, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -50,13 +51,24 @@ case class MinHashAgg(child: Expression, numHashes: Int,
   }
 
   override def eval(buf: Array[Long]): Any = {
-    var gmin = Long.MaxValue
-    var i = 0
-    while (i < numHashes) { if (buf(i) < gmin) gmin = buf(i); i += 1 }
+    // Rotation densification (densified OPH, Shrivastava & Li): an empty
+    // bucket borrows the first non-empty bucket scanning FORWARD from it
+    // (i+1, i+2, … mod k). Unlike the global-min+i fill this used to do,
+    // a new shingle perturbs only the buckets that borrow from the bucket
+    // it lands in — not every empty bucket at once — so signatures of
+    // SHORT documents (fewer shingles than buckets) stay stable under
+    // small edits and banding recall holds (SplitLeakageSpec's 30-word
+    // corpus is the regression case).
     val out = new Array[Long](numHashes)
-    i = 0
+    var i = 0
     while (i < numHashes) {
-      out(i) = if (buf(i) == Long.MaxValue) gmin + i else buf(i)
+      var v = buf(i)
+      var j = 1
+      while (v == Long.MaxValue && j < numHashes) {
+        v = buf((i + j) % numHashes)
+        j += 1
+      }
+      out(i) = v
       i += 1
     }
     new GenericArrayData(out)
