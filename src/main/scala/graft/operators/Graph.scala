@@ -433,16 +433,29 @@ object Graph {
     * (measured at sf1: 12M co-purchase edges, 66 s → single-digit).
     */
   private[graft] def countTrianglesShuffle(dirE: DataFrame): Long = {
-    val adj = dirE.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("nb"))
-    // (u, v, N⁺(u)) for every oriented edge — derived from adj itself, so
-    // it stays co-partitioned with adj's groupBy output (no extra shuffle)
-    val withNbu = adj.select(
-      col("u"), explode(col("nb")).as("v"), col("nb").as("nbu"))
-    withNbu
-      .join(adj.select(col("u").as("v"), col("nb").as("nbv")), Seq("v"))
-      .select(size(array_intersect(col("nbu"), col("nbv"))).cast("long").as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head.getLong(0)
+    val spark = dirE.sparkSession
+    // The adjacency build's collect_list is an UNBOUNDED per-group buffer
+    // (up to O(√m) longs per node) — unlike the engine's bounded-heap
+    // aggregates, hash-mode partials that hold every in-flight group can
+    // OOM at large m (measured: 24M-edge sf2 run at the default 8g heap).
+    // Scope the session's raised ObjectHashAggregate threshold back to
+    // the streaming sort-based fallback for exactly this job; the count
+    // below executes eagerly inside this method, so the restore is safe.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "128")
+    try {
+      val adj = dirE.groupBy(col("u"))
+        .agg(collect_list(col("v")).as("nb"))
+      // (u, v, N⁺(u)) for every oriented edge — derived from adj itself, so
+      // it stays co-partitioned with adj's groupBy output (no extra shuffle)
+      val withNbu = adj.select(
+        col("u"), explode(col("nb")).as("v"), col("nb").as("nbu"))
+      withNbu
+        .join(adj.select(col("u").as("v"), col("nb").as("nbv")), Seq("v"))
+        .select(size(array_intersect(col("nbu"), col("nbv"))).cast("long").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head.getLong(0)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Multi-source BFS levels over the undirected co-purchase graph:

@@ -116,6 +116,14 @@ object Similarity {
 
   /** Nearest-centroid id by cosine over literal double centroids — the
     * same strict-`>` fold as [[assignIvf]] (ties keep the lowest cid).
+    *
+    * Contract: the centroid table is INLINED into the plan as literals
+    * (zero-shuffle, stays in codegen), which is exactly right for the
+    * K ≲ 10³ coarse-quantizer sizes IVF uses — at K·dim ≈ 10⁵ doubles the
+    * plan itself bloats and compile time dominates. An index with a much
+    * larger first level wants a hierarchical quantizer (assign against
+    * K' ≈ √K super-centroids first), not a bigger literal array — that is
+    * an index-design change, not a bigger call to this helper.
     */
   def argmaxCosine(vec: Column, cents: Seq[(Long, Array[Double])]): Column = {
     val cArr = array(cents.map { case (cid, v) =>
