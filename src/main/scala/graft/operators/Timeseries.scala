@@ -90,8 +90,12 @@ object Timeseries {
         xsum($"va" * $"va", 6).as("sxx"), xsum($"vb" * $"vb", 6).as("syy"),
         xsum($"va" * $"vb", 6).as("sxy"))
       .select($"type_a", $"type_b", $"n",
+        // zero variance on either side (e.g. a single shared minute at
+        // tiny SF) ⇒ r² undefined: NULL via nullif, not an ANSI
+        // divide-by-zero — mirrored in the oracle SQL
         (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
-          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+          nullif(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy"), lit(0)))
           .as("r2"))
       .orderBy($"type_a", $"type_b")
   }
@@ -193,6 +197,6 @@ object Timeseries {
          |  FROM j GROUP BY type_a, type_b)
          |SELECT type_a, type_b, n,
          |  (n*sxy - sx*sy) * (n*sxy - sx*sy)
-         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+         |    / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0) AS r2
          |FROM st ORDER BY type_a, type_b""".stripMargin)
 }
