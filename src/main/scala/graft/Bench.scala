@@ -216,8 +216,21 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},$env,""" +
       s""""queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    // BENCH_FULL.json is the committed idle sf0.1 map that arms the retime
+    // backstop above — a scale-probe run (sf1/sf2/...) must NOT clobber it,
+    // or the next driver run's same-sf check fails and the backstop is
+    // silently disarmed (exactly what polluted BENCH_r08). Non-default-sf
+    // runs land in their own BENCH_FULL_<sfname>.json artifact instead.
+    val defaultSf = "/root/testdata/sf0.1"
+    val fullOut =
+      if (sfDir == defaultSf) "BENCH_FULL.json"
+      else {
+        val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9_.-]", "_")
+        s"BENCH_FULL_$base.json"
+      }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullOut),
       (fullLine + "\n").getBytes("UTF-8"))
     val budget = 1500
     val slowestFirst = results.sortBy { case (_, v, e) => if (e.isDefined) Double.MaxValue else -v }

@@ -53,7 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot", "vec_dot(array<float>, array<float>) - one-pass dot product (norm-precomputed cosine building block)") {
       e => VecDot(e.head, e(1))
     }
-    inject("topkd", "topkd(double score, bigint id) - exact bounded-heap top-k aggregate (double score)") {
+    inject("topkd", "topkd(double score, bigint id) - exact bounded-heap top-10 aggregate (double score, fixed k=10; Scala callers pick k via TopKDoubleAgg.register's topkd_<k>)") {
       e => TopKDoubleAgg(e.head, e(1), 10).toAggregateExpression()
     }
     inject("adjacent_pairs", "adjacent_pairs(array<string>) - space-joined adjacent token pairs") {

@@ -438,24 +438,25 @@ object Graph {
     // (up to O(√m) longs per node) — unlike the engine's bounded-heap
     // aggregates, hash-mode partials that hold every in-flight group can
     // OOM at large m (measured: 24M-edge sf2 run at the default 8g heap).
-    // Scope the session's raised ObjectHashAggregate threshold back to
-    // the streaming sort-based fallback for exactly this job; the count
-    // below executes eagerly inside this method, so the restore is safe.
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "128")
-    try {
-      val adj = dirE.groupBy(col("u"))
-        .agg(collect_list(col("v")).as("nb"))
-      // (u, v, N⁺(u)) for every oriented edge — derived from adj itself, so
-      // it stays co-partitioned with adj's groupBy output (no extra shuffle)
-      val withNbu = adj.select(
-        col("u"), explode(col("nb")).as("v"), col("nb").as("nbu"))
-      withNbu
-        .join(adj.select(col("u").as("v"), col("nb").as("nbv")), Seq("v"))
-        .select(size(array_intersect(col("nbu"), col("nbv"))).cast("long").as("c"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head.getLong(0)
-    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // Run the whole job on a SESSION CLONE (shared SparkContext + cached
+    // data, isolated SQLConf): a set/restore on the shared session would
+    // leak threshold=128 to any CONCURRENT query on the same session for
+    // the duration of this job — the clone scopes it unconditionally.
+    val clone = spark.newSession()
+    clone.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    val edges = org.apache.spark.sql.graft.GraftSqlBridge.ofRows(
+      clone, dirE.queryExecution.analyzed)
+    val adj = edges.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nb"))
+    // (u, v, N⁺(u)) for every oriented edge — derived from adj itself, so
+    // it stays co-partitioned with adj's groupBy output (no extra shuffle)
+    val withNbu = adj.select(
+      col("u"), explode(col("nb")).as("v"), col("nb").as("nbu"))
+    withNbu
+      .join(adj.select(col("u").as("v"), col("nb").as("nbv")), Seq("v"))
+      .select(size(array_intersect(col("nbu"), col("nbv"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("t")).head.getLong(0)
   }
 
   /** Multi-source BFS levels over the undirected co-purchase graph:

@@ -340,8 +340,13 @@ object Similarity {
     // handful of cores (measured: 15 s single-task vs ~1 s spread at sf1).
     // Spread it first; a corpus already wider than the shuffle
     // partitioning (the 100 TB case) is left where it lies.
+    // queryExecution.toRdd reads the already-planned physical RDD's width
+    // without building the row-deserializing RDD that `.rdd` constructs —
+    // one partition-count probe, no extra conversion layer.
     val embSpread =
-      if (emb.rdd.getNumPartitions < parts) emb.repartition(parts) else emb
+      if (emb.queryExecution.toRdd.getNumPartitions < parts)
+        emb.repartition(parts)
+      else emb
     // Norm-precomputed cosine: `cos = dot/(‖a‖·‖b‖)` with the norms
     // computed once per ROW (sqrt(vec_dot(v,v)) — the identical
     // sequential fold), so the Q·nprobe·n/K candidate stage pays one

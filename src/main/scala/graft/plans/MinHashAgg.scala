@@ -61,6 +61,7 @@ case class MinHashAgg(child: Expression, numHashes: Int,
     // corpus is the regression case).
     val out = new Array[Long](numHashes)
     var i = 0
+    var anyFilled = false
     while (i < numHashes) {
       var v = buf(i)
       var j = 1
@@ -68,10 +69,14 @@ case class MinHashAgg(child: Expression, numHashes: Int,
         v = buf((i + j) % numHashes)
         j += 1
       }
+      if (v != Long.MaxValue) anyFilled = true
       out(i) = v
       i += 1
     }
-    new GenericArrayData(out)
+    // EVERY bucket empty (no non-null input at all): emit NULL, matching
+    // the columnar Dedup.minhashSignature rotation form — an all-MaxValue
+    // signature would band-collide with any other empty-input group
+    if (!anyFilled) null else new GenericArrayData(out)
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
@@ -86,7 +91,8 @@ case class MinHashAgg(child: Expression, numHashes: Int,
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  // null only for an all-empty input group (see eval)
+  override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinHashAgg =
     copy(child = c.head)

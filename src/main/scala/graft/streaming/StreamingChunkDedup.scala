@@ -55,9 +55,11 @@ object StreamingChunkDedup {
     try {
       val store =
         if (exists(spark, storeDir))
-          // a replayed batch must not see its own (failed) prior write
+          // only strictly earlier batches: a replayed batch must not see its
+          // own (failed) prior write, nor later batches' chunks if the
+          // replay comes after they committed
           Some(spark.read.parquet(storeDir)
-            .filter(col("batch_id") =!= batchId)
+            .filter(col("batch_id") < batchId)
             .select(col("h")).distinct())
         else None
       val storeHits = store.map(st => ch.join(st, "h"))

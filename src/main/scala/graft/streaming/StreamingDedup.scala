@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Replay safety: foreachBatch is at-least-once, so each batch writes its
   * flags and signatures under its own `batch_id=` partition directory with
   * whole-subdir overwrite — a replayed batch rewrites exactly its prior
-  * output instead of double-appending, and the store probe excludes the
-  * replaying batch's own partition so flags are replay-deterministic.
+  * output instead of double-appending, and the store probe reads only
+  * strictly earlier batches (`batch_id < batchId`) so flags are
+  * replay-deterministic even for a late replay issued after later
+  * batches committed.
   */
 object StreamingDedup {
 
@@ -72,9 +74,12 @@ object StreamingDedup {
     try {
       val store =
         if (exists(spark, storeDir))
-          // a replayed batch must not probe its own (failed) prior write
+          // only STRICTLY EARLIER batches (compacted batch_id=-1 included):
+          // a replayed batch must not probe its own (failed) prior write,
+          // and a late replay issued after later batches committed must not
+          // see them either — flags stay replay-deterministic both ways
           Some(spark.read.parquet(storeDir)
-            .filter(col("batch_id") =!= batchId).drop("batch_id"))
+            .filter(col("batch_id") < batchId).drop("batch_id"))
         else None
       // candidates: new-vs-store (store doc wins as dup_of) + new-vs-new
       val vsStore = store.map { st =>
@@ -128,23 +133,24 @@ object StreamingDedup {
     * serializes batches, so scheduling it there is safe).
     */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = storeDir + "__compacting"
-    val old = storeDir + "__old"
+    // swap through the Hadoop FileSystem the store actually lives on —
+    // processBatch resolves storeDir through it, so compaction must too.
+    // rename is atomic on HDFS/local; for S3-like stores use the manifest
+    // pattern (ManifestObjectStore) instead of dir renames.
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(storeDir + "__old")
     spark.read.parquet(storeDir)
       .select(col("doc_id"), col("band"), col("bk"), col("sh"))
       .distinct()
       .repartition(col("band"))
       .write.partitionBy("band").mode(SaveMode.Overwrite)
-      .parquet(s"$tmp/batch_id=-1")
-    Files.move(Paths.get(storeDir), Paths.get(old),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(storeDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the superseded files
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(new java.io.File(old))
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1").toString)
+    if (!fs.rename(storePath, old))
+      throw new java.io.IOException(s"compactStore: rename $storeDir -> $old failed")
+    if (!fs.rename(tmp, storePath))
+      throw new java.io.IOException(s"compactStore: rename $tmp -> $storeDir failed")
+    fs.delete(old, true): Unit
   }
 }

@@ -21,8 +21,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Replay safety: identical discipline to [[StreamingDedup]] — per-batch
   * whole-subdir overwrite for both flags and store, and the store probe
-  * excludes the replaying batch's own partition, so at-least-once
-  * foreachBatch replay rewrites exactly its prior output.
+  * reads only STRICTLY EARLIER batches (`batch_id < batchId`; the
+  * compacted `batch_id=-1` tree always qualifies), so at-least-once
+  * foreachBatch replay rewrites exactly its prior output even when a
+  * replay is issued via the public [[processBatch]] after later batches
+  * have already committed — those later vectors are invisible to it.
   */
 object StreamingSemanticDedup {
 
@@ -72,7 +75,7 @@ object StreamingSemanticDedup {
       val store =
         if (exists(spark, storeDir))
           Some(spark.read.parquet(storeDir)
-            .filter(col("batch_id") =!= batchId).drop("batch_id")
+            .filter(col("batch_id") < batchId).drop("batch_id")
             .filter(col("bucket").isin(probedBuckets: _*)))
         else None
       val cos = (graft.plans.VecDot.dot(col("emb"), col("emb_b")) /
@@ -117,22 +120,24 @@ object StreamingSemanticDedup {
     * [[StreamingDedup.compactStore]].
     */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = storeDir + "__compacting"
-    val old = storeDir + "__old"
+    // swap through the Hadoop FileSystem the store actually lives on —
+    // processBatch resolves storeDir through it, so compaction must too
+    // (java.nio would silently not exist for an hdfs:// store). rename is
+    // atomic on HDFS/local; for S3-like stores use the manifest pattern.
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(storeDir + "__old")
     spark.read.parquet(storeDir)
       .select(col("doc_id"), col("bucket"), col("emb"), col("_n"))
       .distinct()
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-      .parquet(s"$tmp/batch_id=-1")
-    Files.move(Paths.get(storeDir), Paths.get(old),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(storeDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    rm(new java.io.File(old))
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1").toString)
+    if (!fs.rename(storePath, old))
+      throw new java.io.IOException(s"compactStore: rename $storeDir -> $old failed")
+    if (!fs.rename(tmp, storePath))
+      throw new java.io.IOException(s"compactStore: rename $tmp -> $storeDir failed")
+    fs.delete(old, true): Unit
   }
 }

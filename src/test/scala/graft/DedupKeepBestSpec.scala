@@ -54,4 +54,41 @@ class DedupKeepBestSpec extends AnyFunSuite {
     assert(joins <= 2, s"expected a single join (saw $joins):\n${plan.take(900)}")
     assert(plan.contains("array_intersect"), plan.take(900))
   }
+
+  test("triangles OHA fallback threshold is clone-scoped: the shared " +
+      "session's conf is never mutated while the shuffle path runs, so a " +
+      "concurrent TypedImperativeAggregate keeps planning hash-mode") {
+    import spark.implicits._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.get(key)
+    assert(before != "128",
+      "session threshold must differ from the scoped value for this test to observe a leak")
+    // 40-clique: C(40,2)=780 edges, C(40,3)=9880 triangles — enough work
+    // that the adjacency job spans many poll intervals
+    val und = (for (a <- 0L until 40L; b <- a + 1 until 40L) yield (a, b))
+      .toDF("src", "dst")
+    val deg = und.select($"src".as("n"), $"dst")
+      .union(und.select($"dst".as("n"), $"src"))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val dirE = Graph.orientShuffle(und, deg, parts = 4)
+    // poll the SHARED session's conf the whole time the triangles job runs:
+    // the pre-clone implementation set it to 128 for the job's duration,
+    // which any concurrent query on this session would read as its own
+    // fallback threshold (sort-mode re-sorts on >128-group stages)
+    @volatile var done = false
+    @volatile var leaked: Option[String] = None
+    val poller = new Thread(() => {
+      while (!done) {
+        val v = spark.conf.get(key)
+        if (v != before) leaked = Some(v)
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    try assert(Graph.countTrianglesShuffle(dirE) == 9880L)
+    finally { done = true; poller.join() }
+    assert(leaked.isEmpty,
+      s"shared-session fallback threshold mutated to $leaked during the triangles job")
+    assert(spark.conf.get(key) == before)
+  }
 }
