@@ -798,7 +798,8 @@ class Application(object):
         return sinks
 
     def run_stream_tcp(self, host, port, stream_id=1, stream_name=None,
-                       cookie="", event_time=0, throttle_s=0.0):
+                       cookie="", event_time=0, throttle_s=0.0,
+                       progress_every=0, give_up_after_s=None):
         """Feed the app's streaming source into a SCALA engine over the
         LIVE connector socket (`spark.readStream.format("graft-connector")`)
         with at-least-once resume — the machida topology where the python
@@ -823,9 +824,10 @@ class Application(object):
         source = DirectoryQueueSource(cfg.landing_dir, name=name,
                                       throttle_s=throttle_s)
         sender = TcpAtLeastOnceSender(host, int(port), cookie=cookie,
-                                      program=self.name, instance=name)
+                                      program=self.name, instance=name,
+                                      progress_every=progress_every)
         sender.join(source, stream_id=stream_id, stream_name=name,
-                    event_time=event_time)
+                    event_time=event_time, give_up_after_s=give_up_after_s)
         return (sender.sent, source.acked_por)
 
     def _stream_batch(self, batch, stages, state, window_acc, sinks):

@@ -31,6 +31,12 @@ def main(argv=None):
     parser.add_argument("--cookie", default="")
     parser.add_argument("--throttle", type=float, default=0.0,
                         help="per-message pacing for --stream-tcp (seconds)")
+    parser.add_argument("--progress-every", type=int, default=0,
+                        help="emit STREAM_TCP_PROGRESS sent=N to stdout "
+                        "every N messages (0 = off)")
+    parser.add_argument("--give-up-after", type=float, default=None,
+                        help="abort --stream-tcp after this many seconds "
+                        "with no send progress (default: retry forever)")
     parser.add_argument("--idle-polls", type=int, default=None)
     parser.add_argument("--poll-interval", type=float, default=0.25)
     known, app_args = parser.parse_known_args(argv)
@@ -46,7 +52,9 @@ def main(argv=None):
     if known.stream_tcp:
         host, port = known.stream_tcp.rsplit(":", 1)
         sent, por = app.run_stream_tcp(host, int(port), cookie=known.cookie,
-                                       throttle_s=known.throttle)
+                                       throttle_s=known.throttle,
+                                       progress_every=known.progress_every,
+                                       give_up_after_s=known.give_up_after)
         print("STREAM_TCP_DONE sent=%d acked_por=%d" % (sent, por))
     elif known.stream:
         sinks = app.run_stream(idle_polls=known.idle_polls,

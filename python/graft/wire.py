@@ -15,6 +15,7 @@ reference, and Acks release everything up to the acked por.
 
 import socket
 import struct
+import sys
 import threading
 from collections import namedtuple
 
@@ -229,21 +230,44 @@ class TcpAtLeastOnceSender(object):
     """
 
     def __init__(self, host, port, cookie="", program="graft",
-                 instance="python", version="0.0.1"):
+                 instance="python", version="0.0.1", progress_every=0):
         self.host, self.port = host, port
         self.cookie, self.program = cookie, program
         self.instance, self.version = instance, version
         self.sent = 0
         self.stopped = False
+        # > 0: emit "STREAM_TCP_PROGRESS sent=N" to stdout every N sends —
+        # lets a supervising process act on REAL progress instead of wall
+        # time (the kill-resume test SIGKILLs inside a sent-count window)
+        self.progress_every = progress_every
 
-    def join(self, source, stream_id, stream_name, event_time=0):
+    def join(self, source, stream_id, stream_name, event_time=0,
+             give_up_after_s=None):
+        """Reconnect + resume until the source is exhausted and acked.
+
+        `give_up_after_s` bounds the retry loop: if that many seconds pass
+        with NO forward progress (no message newly sent across sessions),
+        raise IOError instead of spinning forever against a dead engine.
+        None (the default) keeps the production at-least-once semantic —
+        retry indefinitely, the engine may come back any time.
+        """
+        import time
+        last_sent = self.sent
+        last_progress = time.monotonic()
         while not self.stopped:
             try:
                 if self._session(source, stream_id, stream_name, event_time):
                     return
             except (IOError, OSError):
                 pass
-            import time
+            if self.sent != last_sent:
+                last_sent = self.sent
+                last_progress = time.monotonic()
+            elif (give_up_after_s is not None and
+                  time.monotonic() - last_progress > give_up_after_s):
+                raise IOError(
+                    "no progress for %.0fs against %s:%d (engine gone?)"
+                    % (give_up_after_s, self.host, self.port))
             time.sleep(0.2)
 
     def _session(self, source, stream_id, stream_name, event_time):
@@ -309,6 +333,10 @@ class TcpAtLeastOnceSender(object):
                 sock.sendall(encode(Message(stream_id, por, event_time,
                                             None, value)))
                 self.sent += 1
+                if self.progress_every and self.sent % self.progress_every == 0:
+                    sys.stdout.write(
+                        "STREAM_TCP_PROGRESS sent=%d\n" % self.sent)
+                    sys.stdout.flush()
                 final_por = por
             sock.sendall(encode(Eos(stream_id)))
             if final_por is None:

@@ -96,24 +96,48 @@ def test_stream_tcp_kill_resume():
         env = dict(os.environ, PYTHONPATH=os.pathsep.join(
             [_PYDIR, tmp, os.environ.get("PYTHONPATH", "")]))
 
-        def sender(throttle):
+        def sender(throttle, extra=()):
             return subprocess.Popen(
                 [sys.executable, "-m", "graft.run",
                  "--application-module", "wc_tcp_app",
                  "--stream-tcp", "127.0.0.1:%d" % src_port,
-                 "--throttle", str(throttle)],
+                 "--throttle", str(throttle)] + list(extra),
                 cwd=tmp, env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
-        # incarnation 1: throttled so the kill lands mid-stream (engine
-        # startup absorbs a variable prefix of the wait)
-        s1 = sender(0.02)
-        time.sleep(20)
+        # incarnation 1: PROGRESS-BASED kill — read the sender's own
+        # STREAM_TCP_PROGRESS counter off stdout and SIGKILL once sent is
+        # inside [50, 250], so the kill lands mid-stream no matter how fast
+        # or slow the engine starts (a fixed sleep raced engine startup: a
+        # warm sbt cache let incarnation 1 finish all %d messages first,
+        # after which the engine exited and incarnation 2 hung against the
+        # dead port). Throttle keeps the window wide: 0.02 s/msg means
+        # ~4 s of stream remain after the kill threshold trips.
+        s1 = sender(0.02, ["--progress-every", "10",
+                           "--give-up-after", "180"])
+        kill_at = 60  # inside the [50, 250] mid-stream window
+        seen = []
+        armed = False
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            line = s1.stdout.readline()
+            if not line:
+                break  # sender stdout EOF — died on its own
+            seen.append(line)
+            if line.startswith(b"STREAM_TCP_PROGRESS sent="):
+                if int(line.split(b"=", 1)[1]) >= kill_at:
+                    armed = True
+                    break
+        assert armed, ("sender never reached sent=%d (died or stalled): %r"
+                       % (kill_at, b"".join(seen)[-2000:]))
         s1.send_signal(signal.SIGKILL)
         s1.wait()
+        s1.stdout.close()
 
-        # incarnation 2: full speed, resumes at the engine's acked por
-        s2 = sender(0)
+        # incarnation 2: full speed, resumes at the engine's acked por.
+        # --give-up-after bounds the reconnect loop: if the engine really is
+        # gone, this asserts cleanly instead of spinning on ECONNREFUSED.
+        s2 = sender(0, ["--give-up-after", "120"])
         out2, _ = s2.communicate(timeout=300)
         assert b"STREAM_TCP_DONE" in out2, out2.decode()[-2000:]
 
