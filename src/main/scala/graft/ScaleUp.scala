@@ -22,11 +22,26 @@ import org.apache.spark.sql.functions._
   *     exact ties broken.
   *
   *   runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10
+  *
+  * Optional 4th arg `fresh`: a REPLICA-FREE scale-up for the dedup-family
+  * probes. The half-splice replicas above keep cross-replica Jaccard under
+  * the near-dup thresholds, but the ORIGINAL corpus's built-in near-dup
+  * pairs still replicate — pair MASS grows ~quadratically with the factor
+  * (measured: q_edit_join's 904× true pairs at 10×), which conflates
+  * "more pairs to verify" with "plan cost at more data". In fresh mode,
+  * documents replicas i>0 get a deterministic per-(doc,replica) TOKEN
+  * permutation (hash-sorted tokens: word 3-gram shingles, winnow/CDC
+  * chunks, and edit-distance locality all collapse) and embeddings
+  * replicas get a per-(vec,replica) COORDINATE permutation (cosine
+  * structure collapses) — so near-dup pair mass stays ≈ the 1× corpus's
+  * while the data is N×, and the dedup family's wall-vs-work curve is
+  * separable.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
+    val fresh = args.lift(3).contains("fresh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,11 +107,27 @@ object ScaleUp {
     }, "events")
 
     // documents: half-splice against a rotating partner for shingle
-    // diversity (see scaladoc); replica 0 is the original corpus
+    // diversity (see scaladoc); replica 0 is the original corpus.
+    // fresh mode instead hash-permutes each replica's tokens — a
+    // deterministic per-(doc, replica) shuffle that destroys every
+    // adjacency-based similarity (3-gram shingles, winnowing, CDC
+    // chunks, edit locality), so replication adds DATA without adding
+    // near-dup PAIRS.
     val partner = documents.select($"doc_id".as("_pid"), $"text".as("_ptext"))
     write(replicate(documents) { (df, i) =>
       if (i == 0) df
-      else {
+      else if (fresh) {
+        df.withColumn("text",
+            array_join(
+              transform(
+                array_sort(transform(split($"text", " "),
+                  t => struct(
+                    xxhash64(t, $"doc_id", lit(i)).as("k"), t.as("v")))),
+                s => s.getField("v")),
+              " "))
+          .withColumn("doc_id", $"doc_id" + lit(i * dK))
+          .withColumn("n_chars", length($"text").cast("long"))
+      } else {
         val spliced = df
           .withColumn("_pid", pmod($"doc_id" + lit(i), lit(dK)))
           .join(partner, "_pid")
@@ -115,6 +146,16 @@ object ScaleUp {
 
     write(replicate(embeddings) { (df, i) =>
       if (i == 0) df
+      else if (fresh)
+        // coordinate permutation keyed by (vec, replica): same value
+        // distribution, cosine structure with every parent collapses
+        df.withColumn("vec_id", $"vec_id" + lit(i * vK))
+          .withColumn("embedding",
+            transform(
+              array_sort(transform(sequence(lit(0), size($"embedding") - 1),
+                d => struct(xxhash64(d, $"vec_id", lit(i)).as("k"),
+                  element_at($"embedding", d + 1).as("v")))),
+              s => s.getField("v")))
       else df
         .withColumn("vec_id", $"vec_id" + lit(i * vK))
         .withColumn("embedding",

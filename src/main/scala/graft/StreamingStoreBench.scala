@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Store-GROWTH curve for the incremental dedup family — the measurement
+  * behind the "per-batch cost stays flat as the store deepens" claim
+  * ([[graft.streaming.StreamingSemanticDedup]] /
+  * [[graft.streaming.StreamingDedup]]): stream the whole table through
+  * `processBatch` in enough micro-batches that the final store is tens of
+  * times one batch's size, and record EVERY batch's wall clock against the
+  * store rows it probed. If the isin/band partition pruning holds, the
+  * curve is flat (fixed Spark overhead dominated); a slope means the probe
+  * is scanning the store.
+  *
+  * Also asserts the pruning itself: the store probe's physical plan must
+  * carry the bucket/band predicate as a PartitionFilter (directory-level
+  * pruning), not a post-scan Filter.
+  *
+  * Run: `sbt "runMain graft.StreamingStoreBench [sfDir] [nBatches]"` —
+  * writes per-batch rows to stderr, a summary JSON line to stdout, and the
+  * full curve to STREAMSTORE_BENCH.json.
+  */
+object StreamingStoreBench {
+
+  private def timeBatches(nBatches: Int,
+      run: Int => Unit): Array[Double] =
+    (0 until nBatches).map { b =>
+      val t0 = System.nanoTime()
+      run(b)
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[storebench] batch $b%3d  $s%6.2f s")
+      s
+    }.toArray
+
+  /** Mean of the first/last `k` entries — the flatness comparison. */
+  private def headTail(xs: Array[Double], k: Int): (Double, Double) =
+    (xs.take(k).sum / k, xs.takeRight(k).sum / k)
+
+  /** The probe-shaped store read must prune at the directory level: its
+    * scan node carries the partition-column predicate as a PartitionFilter.
+    */
+  private def prunedPlan(spark: SparkSession, storeDir: String,
+      partCol: String): Boolean = {
+    val probe = spark.read.parquet(storeDir)
+      .filter(col("batch_id") < Long.MaxValue)
+      .filter(col(partCol).isin(0L, 1L))
+    val plan = probe.queryExecution.executedPlan.toString
+    plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*" .r.findFirstIn(plan)
+        .exists(s => s.contains(partCol))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(40)
+    val spark = GraftSession.local("streaming-store-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft_ssb").toString
+
+    // ---- semantic (IVF-bucketed vector) store ----
+    val emb = graft.sources.Sources.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding").as("emb"))
+      .persist()
+    val nVec = emb.count()
+    val cents = graft.operators.Similarity.trainIvfCentroids(
+      emb, "doc_id", "emb", k = 32, iters = 3)
+    val semWalls = timeBatches(nBatches, b =>
+      graft.streaming.StreamingSemanticDedup.processBatch(
+        emb.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
+        cents, s"$base/sem_store", s"$base/sem_flags",
+        threshold = 0.99, nprobe = 2))
+    val semPruned = prunedPlan(spark, s"$base/sem_store", "bucket")
+    emb.unpersist()
+
+    // ---- minhash (band-partitioned signature) store ----
+    val docs = graft.sources.Sources.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .persist()
+    val nDoc = docs.count()
+    val mhWalls = timeBatches(nBatches, b =>
+      graft.streaming.StreamingDedup.processBatch(
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
+        s"$base/mh_store", s"$base/mh_flags",
+        numHashes = 64, bandCount = 16, threshold = 0.5))
+    val mhPruned = prunedPlan(spark, s"$base/mh_store", "band")
+    docs.unpersist()
+
+    def fmtArr(xs: Array[Double]) =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val (semHead, semTail) = headTail(semWalls, 3)
+    val (mhHead, mhTail) = headTail(mhWalls, 3)
+    val full =
+      s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,""" +
+      s""""semantic":{"rows":$nVec,"batch_rows":${nVec / nBatches},""" +
+      f""""first3_mean_s":$semHead%.2f,"last3_mean_s":$semTail%.2f,""" +
+      s""""growth_ratio":${f"${semTail / semHead}%.2f"},"pruned":$semPruned,""" +
+      s""""per_batch_s":${fmtArr(semWalls)}},""" +
+      s""""minhash":{"rows":$nDoc,"batch_rows":${nDoc / nBatches},""" +
+      f""""first3_mean_s":$mhHead%.2f,"last3_mean_s":$mhTail%.2f,""" +
+      s""""growth_ratio":${f"${mhTail / mhHead}%.2f"},"pruned":$mhPruned,""" +
+      s""""per_batch_s":${fmtArr(mhWalls)}}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("STREAMSTORE_BENCH.json"),
+      (full + "\n").getBytes("UTF-8"))
+    // stdout stays one compact line (per-batch curves live in the file)
+    println(full.replaceAll(""""per_batch_s":\[[^\]]*\],?""", "")
+      .replaceAll(",}", "}"))
+    spark.stop()
+  }
+}
