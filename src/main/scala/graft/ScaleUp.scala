@@ -117,12 +117,18 @@ object ScaleUp {
     write(replicate(documents) { (df, i) =>
       if (i == 0) df
       else if (fresh) {
+        // the permutation key MUST include the token's position: keyed on
+        // the token alone, every occurrence of a repeated word gets the
+        // same key and hash-sort clusters them into runs ("the the the")
+        // — universal 3-gram shingles shared by every doc, which turns
+        // the posting joins into n² (measured: q_dedup_containment wedged
+        // at sf1f until this was position-keyed)
         df.withColumn("text",
             array_join(
               transform(
                 array_sort(transform(split($"text", " "),
-                  t => struct(
-                    xxhash64(t, $"doc_id", lit(i)).as("k"), t.as("v")))),
+                  (t, p) => struct(
+                    xxhash64(t, p, $"doc_id", lit(i)).as("k"), t.as("v")))),
                 s => s.getField("v")),
               " "))
           .withColumn("doc_id", $"doc_id" + lit(i * dK))
