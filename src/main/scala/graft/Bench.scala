@@ -223,12 +223,15 @@ object Bench {
     // runs land in their own BENCH_FULL_<sfname>.json artifact instead.
     val defaultSf = "/root/testdata/sf0.1"
     val fullOut =
-      if (sfDir == defaultSf) "BENCH_FULL.json"
-      else {
+      if (sfDir != defaultSf) {
         val base = java.nio.file.Paths.get(sfDir).getFileName.toString
           .replaceAll("[^A-Za-z0-9_.-]", "_")
         s"BENCH_FULL_$base.json"
       }
+      // a SPARK_GRAFT_ONLY subset run must not replace the full idle map
+      // either — it would shrink the committed-map threshold universe
+      else if (only.isDefined) "BENCH_FULL_partial.json"
+      else "BENCH_FULL.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -83,16 +83,44 @@ object Dedup {
     * filtering after pair generation would pay the full quadratic
     * candidate cost for pairs the caller then throws away.
     */
+  /** Prefix postings under the RAREST-FIRST global order — each document
+    * posts its `prefixLen` elements of smallest `(document frequency,
+    * hash)`. Any common total order keeps the prefix filter lossless (the
+    * smallest shared element of a qualifying pair lands in both prefixes
+    * by the upward-closed-suffix argument), but the ORDER CHOICE drives
+    * the candidate volume: the posting join's output is Σ_h q_h·i_h, and
+    * hash order makes prefixes a random sample of the df distribution —
+    * at 20× data the frequent-shingle products dominated the entire
+    * containment/ingest wall (measured via the replica-vs-fresh A/B:
+    * candidate generation, not pair verification, was the sf2 floor).
+    * Rarest-first empties the prefixes of exactly the high-df postings,
+    * collapsing q_h for every frequent h. Costs two linear exchanges (df
+    * aggregate + annotate) and one per-doc window — all O(postings).
+    */
+  private def dfOrderedPrefixPosts(base: DataFrame, idCol: String,
+      bandCols: Seq[String], prefixLen: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = base.select(
+      (bandCols.map(col) :+ col(idCol)) :+
+        prefixLen.cast("int").as("_plen") :+ explode(col("_sh")).as("_h"): _*)
+    // _sh is distinct per doc, so count(*) per hash IS document frequency
+    val dfTab = posts.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    posts.join(dfTab, "_h")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_h"))))
+      .filter(col("_rk") <= col("_plen"))
+      .select((bandCols.map(col) :+ col(idCol)) :+ col("_h"): _*)
+  }
+
   private def jaccardPairsOn(base: DataFrame, idCol: String,
       bandCols: Seq[String], threshold: Double,
       pairPredicate: Option[Column] = None): DataFrame = {
     // prefix-filtering (AllPairs): under a global element order, two sets
     // with J >= t must share an element within their first
-    // n - ceil(t*n) + 1 elements — only prefix postings enter the join
+    // n - ceil(t*n) + 1 elements — only prefix postings enter the join,
+    // and the prefix is taken rarest-first (see dfOrderedPrefixPosts)
     val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
-    val posts = base.select(
-      (bandCols.map(col) :+ col(idCol)) :+
-        explode(slice(col("_sh"), lit(1), prefixLen)).as("_h"): _*)
+    val posts = dfOrderedPrefixPosts(base, idCol, bandCols, prefixLen)
     val rhs = posts.toDF(posts.columns.map(c =>
       if (bandCols.contains(c) || c == "_h") c else s"${c}_b"): _*)
     val candidates = posts.join(rhs, bandCols :+ "_h")
@@ -137,8 +165,12 @@ object Dedup {
       // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
       val ceilTn = (col("_n") * num + (den - 1)) / den
       val prefixLen = (col("_n") - ceilTn.cast("int") + 1)
-      val queryPosts = base.select(col(idCol).as("_a"),
-        explode(slice(col("_sh"), lit(1), prefixLen)).as("_h"))
+      // containment only constrains the QUERY side's subset choice (the
+      // index posts everything), so rarest-first needs no global-order
+      // argument here at all — it simply keeps frequent shingles out of
+      // the candidate join's query side
+      val queryPosts = dfOrderedPrefixPosts(base, idCol, Seq.empty, prefixLen)
+        .select(col(idCol).as("_a"), col("_h"))
       val indexPosts = base.select(col(idCol).as("_b"),
         explode(col("_sh")).as("_h"))
       val candidates = queryPosts.join(indexPosts, "_h")
