@@ -121,6 +121,52 @@ object DataOpsQueries {
         expr("n_both * 1000000L DIV greatest(n_exact, 1)").as("rec_ppm"))
   }
 
+  /** SAMPLED SimHash evaluation — the corpus-scale form of
+    * [[qSimhashEval]], same protocol as [[qMinhashEvalSampled]]: the
+    * production SimHash banding runs over the FULL corpus (linear-ish),
+    * while the exact Jaccard ground truth and the precision/recall
+    * accounting are restricted to the deterministic 25 % id-hash sample
+    * (`doc_id % 4 = 0`) — exact pair work drops by sample² and the
+    * sampled P/R is an unbiased estimate of corpus P/R.
+    */
+  def qSimhashEvalSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.SimHashBits.register(s, bits = 60)
+    graft.plans.ShingleHashes.registerTokenHashes(s)
+    val sigs = Sources.documents(s, dir)
+      .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+        graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
+      .localCheckpoint(true)
+    val chunks = array((0 until 6).map(c =>
+      struct(lit(c).as("ck"),
+        shiftright($"sim", c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
+    val banded = sigs.select($"doc_id", $"sim", explode(chunks).as("b"))
+      .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+    val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+    val sh = banded.join(other, Seq("ck", "cv"))
+      .filter($"doc_id" < $"doc_id_b")
+      .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+      .filter($"doc_id" % 4 === 0 && $"doc_id_b" % 4 === 0)
+      .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val exact = Dedup.jaccardPairs(
+      withHashedShingles(s, dir).filter($"doc_id" % 4 === 0),
+      "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    val both = sh.join(exact, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both_sample"))
+    sh.agg(count(lit(1)).as("n_simhash_sample"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact_sample")))
+      .crossJoin(both)
+      .select($"n_simhash_sample", $"n_exact_sample", $"n_both_sample",
+        expr("n_both_sample * 1000000L DIV greatest(n_simhash_sample, 1)")
+          .as("prec_ppm_est"),
+        expr("n_both_sample * 1000000L DIV greatest(n_exact_sample, 1)")
+          .as("rec_ppm_est"))
+  }
+
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.embeddingPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
@@ -588,6 +634,7 @@ object DataOpsQueries {
     "q_minhash_eval" -> qMinhashEval,
     "q_minhash_eval_sampled" -> qMinhashEvalSampled,
     "q_simhash_eval" -> qSimhashEval,
+    "q_simhash_eval_sampled" -> qSimhashEvalSampled,
     "q_lsh_sweep" -> qLshSweep,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -931,6 +978,37 @@ object DataOpsQueries {
          |SELECT n_simhash, n_exact, n_both,
          |  n_both * 1000000 // GREATEST(n_simhash, 1) AS prec_ppm,
          |  n_both * 1000000 // GREATEST(n_exact, 1) AS rec_ppm
+         |FROM c""".stripMargin,
+    "q_simhash_eval_sampled" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($W, w -> ${md("w")}) AS tok,
+         |    list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, hs,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN 2 * len(list_filter(tok, h -> ((h >> b) & 1) = 1)) > len(tok)
+         |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+         |  FROM t),
+         |sh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 5
+         |    AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+         |ne AS (SELECT doc_id, hs FROM sg
+         |  WHERE len(hs) > 0 AND doc_id % 4 = 0),
+         |exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
+         |c AS (
+         |  SELECT (SELECT COUNT(*) FROM sh) AS n_simhash_sample,
+         |    (SELECT COUNT(*) FROM exact) AS n_exact_sample,
+         |    (SELECT COUNT(*) FROM sh JOIN exact
+         |       ON sh.doc_a = exact.doc_a AND sh.doc_b = exact.doc_b) AS n_both_sample)
+         |SELECT n_simhash_sample, n_exact_sample, n_both_sample,
+         |  n_both_sample * 1000000 // GREATEST(n_simhash_sample, 1) AS prec_ppm_est,
+         |  n_both_sample * 1000000 // GREATEST(n_exact_sample, 1) AS rec_ppm_est
          |FROM c""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
