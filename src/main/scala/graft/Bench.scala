@@ -222,16 +222,16 @@ object Bench {
     // silently disarmed (exactly what polluted BENCH_r08). Non-default-sf
     // runs land in their own BENCH_FULL_<sfname>.json artifact instead.
     val defaultSf = "/root/testdata/sf0.1"
+    // a SPARK_GRAFT_ONLY subset run must never replace a full map (at ANY
+    // sf) — it would shrink that sf's committed/reference universe
+    val partial = if (only.isDefined) "_partial" else ""
     val fullOut =
-      if (sfDir != defaultSf) {
+      if (sfDir == defaultSf) s"BENCH_FULL$partial.json"
+      else {
         val base = java.nio.file.Paths.get(sfDir).getFileName.toString
           .replaceAll("[^A-Za-z0-9_.-]", "_")
-        s"BENCH_FULL_$base.json"
+        s"BENCH_FULL_$base$partial.json"
       }
-      // a SPARK_GRAFT_ONLY subset run must not replace the full idle map
-      // either — it would shrink the committed-map threshold universe
-      else if (only.isDefined) "BENCH_FULL_partial.json"
-      else "BENCH_FULL.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       (fullLine + "\n").getBytes("UTF-8"))
