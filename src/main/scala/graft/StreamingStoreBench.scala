@@ -17,19 +17,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * carry the bucket/band predicate as a PartitionFilter (directory-level
   * pruning), not a post-scan Filter.
   *
-  * Run: `sbt "runMain graft.StreamingStoreBench [sfDir] [nBatches]"` —
-  * writes per-batch rows to stderr, a summary JSON line to stdout, and the
-  * full curve to STREAMSTORE_BENCH.json.
+  * Run: `sbt "runMain graft.StreamingStoreBench [sfDir] [nBatches]
+  * [compactAt]"` — writes per-batch rows to stderr, a summary JSON line to
+  * stdout, and the full curve to STREAMSTORE_BENCH.json. `compactAt > 0`
+  * interleaves a mid-run `compactStore` after that batch (the production
+  * maintenance shape: per-batch trees collapse into one batch_id=-1 tree
+  * and the growth curve continues over the compacted store).
   */
 object StreamingStoreBench {
 
-  private def timeBatches(nBatches: Int,
-      run: Int => Unit): Array[Double] =
+  private def timeBatches(nBatches: Int, compactAt: Int,
+      compact: () => Unit)(run: Int => Unit): Array[Double] =
     (0 until nBatches).map { b =>
       val t0 = System.nanoTime()
       run(b)
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[storebench] batch $b%3d  $s%6.2f s")
+      if (compactAt > 0 && b == compactAt) {
+        val c0 = System.nanoTime()
+        compact()
+        System.err.println(
+          f"[storebench] compacted after batch $b (${(System.nanoTime() - c0) / 1e9}%.2f s)")
+      }
       s
     }.toArray
 
@@ -54,6 +63,7 @@ object StreamingStoreBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(40)
+    val compactAt = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = GraftSession.local("streaming-store-bench")
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Files.createTempDirectory("graft_ssb").toString
@@ -66,11 +76,14 @@ object StreamingStoreBench {
     val nVec = emb.count()
     val cents = graft.operators.Similarity.trainIvfCentroids(
       emb, "doc_id", "emb", k = 32, iters = 3)
-    val semWalls = timeBatches(nBatches, b =>
+    val semWalls = timeBatches(nBatches, compactAt,
+      () => graft.streaming.StreamingSemanticDedup.compactStore(
+        spark, s"$base/sem_store")) { b =>
       graft.streaming.StreamingSemanticDedup.processBatch(
         emb.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
         cents, s"$base/sem_store", s"$base/sem_flags",
-        threshold = 0.99, nprobe = 2))
+        threshold = 0.99, nprobe = 2)
+    }
     val semPruned = prunedPlan(spark, s"$base/sem_store", "bucket")
     emb.unpersist()
 
@@ -79,11 +92,14 @@ object StreamingStoreBench {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .persist()
     val nDoc = docs.count()
-    val mhWalls = timeBatches(nBatches, b =>
+    val mhWalls = timeBatches(nBatches, compactAt,
+      () => graft.streaming.StreamingDedup.compactStore(
+        spark, s"$base/mh_store")) { b =>
       graft.streaming.StreamingDedup.processBatch(
         docs.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
         s"$base/mh_store", s"$base/mh_flags",
-        numHashes = 64, bandCount = 16, threshold = 0.5))
+        numHashes = 64, bandCount = 16, threshold = 0.5)
+    }
     val mhPruned = prunedPlan(spark, s"$base/mh_store", "band")
     docs.unpersist()
 
@@ -92,7 +108,7 @@ object StreamingStoreBench {
     val (semHead, semTail) = headTail(semWalls, 3)
     val (mhHead, mhTail) = headTail(mhWalls, 3)
     val full =
-      s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,""" +
+      s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,"compact_at":$compactAt,""" +
       s""""semantic":{"rows":$nVec,"batch_rows":${nVec / nBatches},""" +
       f""""first3_mean_s":$semHead%.2f,"last3_mean_s":$semTail%.2f,""" +
       s""""growth_ratio":${f"${semTail / semHead}%.2f"},"pruned":$semPruned,""" +

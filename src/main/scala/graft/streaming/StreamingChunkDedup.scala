@@ -62,7 +62,10 @@ object StreamingChunkDedup {
             .filter(col("batch_id") < batchId)
             .select(col("h")).distinct())
         else None
-      val storeHits = store.map(st => ch.join(st, "h"))
+      // broadcast the batch side: the store outgrows the auto-broadcast
+      // threshold with depth and would otherwise be shuffle-sorted every
+      // batch (see StreamingDedup.processBatch) — hinted, it only streams
+      val storeHits = store.map(st => broadcast(ch).join(st, "h"))
       // within-batch: a chunk counts as duplicated for every doc after
       // its first (smallest-id) owner in this batch
       val owners = ch.groupBy(col("h")).agg(min(col("doc_id")).as("first_owner"))

@@ -81,9 +81,17 @@ object StreamingDedup {
           Some(spark.read.parquet(storeDir)
             .filter(col("batch_id") < batchId).drop("batch_id"))
         else None
-      // candidates: new-vs-store (store doc wins as dup_of) + new-vs-new
+      // candidates: new-vs-store (store doc wins as dup_of) + new-vs-new.
+      // BROADCAST the batch side: a batch's band keys hit ALL bands, so
+      // band partitioning prunes nothing on the ingest probe, and once
+      // the store outgrows the auto-broadcast threshold Spark would
+      // sort-merge-join it — shuffling the WHOLE store every batch, a
+      // per-batch cost that grows linearly with store depth (measured:
+      // 1.7→4.9 s/batch by 99× depth at sf2). With the hint the store
+      // only STREAMS through a broadcast-hash-join — no store shuffle at
+      // any depth; the batch side (operator-bounded) is the build side.
       val vsStore = store.map { st =>
-        sigs.join(st.select(col("doc_id").as("dup_of"), col("band"),
+        broadcast(sigs).join(st.select(col("doc_id").as("dup_of"), col("band"),
           col("bk"), col("sh").as("sh_b")), Seq("band", "bk"))
           .filter(col("doc_id") =!= col("dup_of"))
       }
