@@ -221,14 +221,24 @@ object Bench {
     // or the next driver run's same-sf check fails and the backstop is
     // silently disarmed (exactly what polluted BENCH_r08). Non-default-sf
     // runs land in their own BENCH_FULL_<sfname>.json artifact instead.
-    val defaultSf = "/root/testdata/sf0.1"
+    // normalize before comparing: a trailing slash, relative path, or
+    // symlink must not route a default-sf run into BENCH_FULL_sf0.1.json
+    // and silently leave the committed map (and the retime backstop it
+    // arms) stale
+    def canon(p: String): String = {
+      val path = java.nio.file.Paths.get(p)
+      try path.toRealPath().toString
+      catch { case _: java.io.IOException =>
+        path.toAbsolutePath.normalize.toString }
+    }
+    val defaultSf = canon("/root/testdata/sf0.1")
     // a SPARK_GRAFT_ONLY subset run must never replace a full map (at ANY
     // sf) — it would shrink that sf's committed/reference universe
     val partial = if (only.isDefined) "_partial" else ""
     val fullOut =
-      if (sfDir == defaultSf) s"BENCH_FULL$partial.json"
+      if (canon(sfDir) == defaultSf) s"BENCH_FULL$partial.json"
       else {
-        val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val base = java.nio.file.Paths.get(canon(sfDir)).getFileName.toString
           .replaceAll("[^A-Za-z0-9_.-]", "_")
         s"BENCH_FULL_$base$partial.json"
       }

@@ -51,8 +51,15 @@ object ScaleUp {
     import spark.implicits._
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // coalesce each table to a bounded file count: the N-replica union
+    // otherwise lands ~N×(source files) per table, and every trivial
+    // full-scan query then pays N× task/scan overhead that has nothing to
+    // do with data volume (q_celsius measured 24× wall at 20× data purely
+    // from the 20-file layout — SURVEY §7e-2). coalesce (no shuffle)
+    // keeps generation cheap; 32 matches the bench session's parallelism.
+    val outFiles = 32
     def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      df.coalesce(outFiles).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
     def stride(df: DataFrame, c: String): Long =
@@ -157,11 +164,15 @@ object ScaleUp {
         // distribution, cosine structure with every parent collapses
         df.withColumn("vec_id", $"vec_id" + lit(i * vK))
           .withColumn("embedding",
-            transform(
-              array_sort(transform(sequence(lit(0), size($"embedding") - 1),
-                d => struct(xxhash64(d, $"vec_id", lit(i)).as("k"),
-                  element_at($"embedding", d + 1).as("v")))),
-              s => s.getField("v")))
+            // empty-array guard: sequence(0, -1) is a DESCENDING sequence
+            // and element_at(..., 0) throws — one degenerate row must not
+            // fail the whole scale-up job
+            when(size($"embedding") > 0,
+              transform(
+                array_sort(transform(sequence(lit(0), size($"embedding") - 1),
+                  d => struct(xxhash64(d, $"vec_id", lit(i)).as("k"),
+                    element_at($"embedding", d + 1).as("v")))),
+                s => s.getField("v"))).otherwise($"embedding"))
       else df
         .withColumn("vec_id", $"vec_id" + lit(i * vK))
         .withColumn("embedding",

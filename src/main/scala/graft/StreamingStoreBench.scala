@@ -100,7 +100,11 @@ object StreamingStoreBench {
         s"$base/mh_store", s"$base/mh_flags",
         numHashes = 64, bandCount = 16, threshold = 0.5)
     }
-    val mhPruned = prunedPlan(spark, s"$base/mh_store", "band")
+    // the r10 store layout splits keys (bucket-partitioned postings) from
+    // docs (dbucket-partitioned shingle payloads); the probe prunes on the
+    // keys tree's hash-bucket column
+    val mhPruned = prunedPlan(spark, s"$base/mh_store/keys", "bucket") &&
+      prunedPlan(spark, s"$base/mh_store/docs", "dbucket")
     docs.unpersist()
 
     def fmtArr(xs: Array[Double]) =

@@ -12,28 +12,42 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the same batch), and appends the new chunk hashes to the store.
   *
   * Scale shape: per batch the work is O(batch) chunking + one equi-join
-  * against the store keyed on the 60-bit chunk hash; the store is
-  * parquet partitioned by a hash bucket (compactable like
-  * [[StreamingDedup.compactStore]]). No old document is ever re-chunked.
+  * against the store keyed on the 60-bit chunk hash. The store is parquet
+  * partitioned by `hb = pmod(h, Buckets)`; the batch's chunk hashes touch
+  * at most `min(|batch chunks|, Buckets)` of those buckets, and the probe
+  * pushes that touched set as an `isin` PARTITION filter — per-batch probe
+  * cost is bounded by the matching directories, not the store's depth
+  * (same discipline as [[StreamingDedup]] /
+  * [[StreamingSemanticDedup]]). The batch side of the probe is broadcast
+  * only while it is provably small (`maxBroadcastChunkRows`); an
+  * unbounded micro-batch falls back to a shuffle join instead of risking
+  * the broadcast ceiling. No old document is ever re-chunked.
   *
   * Replay safety: foreachBatch is at-least-once, so every write is keyed
-  * on the batch id and uses DYNAMIC partition overwrite — a replayed
-  * batch rewrites exactly its own `batch_id=` partitions instead of
-  * double-appending report rows / store chunks (same discipline as
-  * [[UpsertSink]]). Store reads exclude the replaying batch's own
-  * partition so the report is also replay-deterministic.
+  * on the batch id with whole-subdir overwrite — a replayed batch
+  * rewrites exactly its own `batch_id=` tree instead of double-appending
+  * report rows / store chunks. Store rows carry their origin batch as a
+  * `src_batch` DATA column that [[compactStore]] preserves (min across
+  * merged duplicates), so probe reads exclude later/own batches' chunks
+  * even after compaction and the report stays replay-deterministic.
   */
 object StreamingChunkDedup {
 
-  private val Buckets = 16
+  private val Buckets = 64
+
+  /** Broadcast ceiling for the batch's (doc_id, h) probe side. */
+  val maxBroadcastChunkRows = 4L * 1000 * 1000
 
   def start(docs: DataFrame, storeDir: String, flagDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, autoCompactBatches: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, storeDir, flagDir)
+        if (autoCompactBatches > 0 && StoreMaint.uncompactedBatches(
+            batch.sparkSession, storeDir) >= autoCompactBatches)
+          compactStore(batch.sparkSession, storeDir)
       }
       .start()
 
@@ -47,25 +61,31 @@ object StreamingChunkDedup {
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       flagDir: String): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
     graft.plans.ChunkHashes.register(spark, k = 8, modulus = 64)
     val ch = batch.select(col("doc_id"), explode(array_distinct(
         graft.plans.ChunkHashes.chunkHashes(col("text")))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val store =
-        if (exists(spark, storeDir))
-          // only strictly earlier batches: a replayed batch must not see its
-          // own (failed) prior write, nor later batches' chunks if the
-          // replay comes after they committed
-          Some(spark.read.parquet(storeDir)
-            .filter(col("batch_id") < batchId)
-            .select(col("h")).distinct())
-        else None
-      // broadcast the batch side: the store outgrows the auto-broadcast
-      // threshold with depth and would otherwise be shuffle-sorted every
-      // batch (see StreamingDedup.processBatch) — hinted, it only streams
-      val storeHits = store.map(st => broadcast(ch).join(st, "h"))
+      val nChunks = ch.count()
+      if (nChunks == 0) return
+      val storeHits =
+        if (exists(spark, storeDir)) {
+          // ≤ Buckets values — safe to collect, and as a literal isin it
+          // prunes the hb-partitioned store at the source (directory-level
+          // PartitionFilter), so the probe reads matching buckets only
+          val touched = ch.select(pmod(col("h"), lit(Buckets)).as("hb"))
+            .distinct().collect().map(_.getLong(0))
+          // only chunks ORIGINATING strictly earlier (src_batch survives
+          // compaction): a replayed batch must not see its own (failed)
+          // prior write, nor later batches' chunks
+          val st = spark.read.parquet(storeDir)
+            .filter(col("src_batch") < batchId)
+            .filter(col("hb").isin(touched: _*))
+            .select(col("h")).distinct()
+          val probe =
+            if (nChunks <= maxBroadcastChunkRows) broadcast(ch) else ch
+          Some(probe.join(st, "h"))
+        } else None
       // within-batch: a chunk counts as duplicated for every doc after
       // its first (smallest-id) owner in this batch
       val owners = ch.groupBy(col("h")).agg(min(col("doc_id")).as("first_owner"))
@@ -79,16 +99,23 @@ object StreamingChunkDedup {
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"))
-      report.withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite).parquet(flagDir)
-      ch.select(col("h"), pmod(col("h"), lit(Buckets)).as("hb")).distinct()
-        .withColumn("batch_id", lit(batchId))
+      report.write.mode(SaveMode.Overwrite)
+        .parquet(s"$flagDir/batch_id=$batchId")
+      ch.select(col("h")).distinct()
+        .select(col("h"), pmod(col("h"), lit(Buckets)).as("hb"))
+        .withColumn("src_batch", lit(batchId))
         .repartition(col("hb"))
-        .write.partitionBy("hb", "batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite).parquet(storeDir)
+        .write.partitionBy("hb").mode(SaveMode.Overwrite)
+        .parquet(s"$storeDir/batch_id=$batchId")
     } finally ch.unpersist()
   }
+
+  /** Compact the chunk store: merge cross-batch duplicate hashes (keeping
+    * the earliest `src_batch` — see [[StoreMaint.compactTree]]) and
+    * rewrite the per-batch trees into one `batch_id=-1` tree partitioned
+    * by `hb`, so probes keep pruning at the source as batches accumulate.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Unit =
+    StoreMaint.compactTree(spark, storeDir, "hb", Seq("h"))
 }

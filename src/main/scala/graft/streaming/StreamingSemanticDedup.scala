@@ -21,11 +21,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Replay safety: identical discipline to [[StreamingDedup]] — per-batch
   * whole-subdir overwrite for both flags and store, and the store probe
-  * reads only STRICTLY EARLIER batches (`batch_id < batchId`; the
-  * compacted `batch_id=-1` tree always qualifies), so at-least-once
-  * foreachBatch replay rewrites exactly its prior output even when a
-  * replay is issued via the public [[processBatch]] after later batches
-  * have already committed — those later vectors are invisible to it.
+  * reads only rows ORIGINATING in strictly earlier batches (the
+  * `src_batch` data column, which [[compactStore]] preserves as the
+  * minimum across merged duplicates), so at-least-once foreachBatch
+  * replay rewrites exactly its prior output even when a replay is issued
+  * via the public [[processBatch]] after later batches committed AND
+  * after any number of compactions — those later vectors stay invisible
+  * to it.
   */
 object StreamingSemanticDedup {
 
@@ -35,13 +37,17 @@ object StreamingSemanticDedup {
     */
   def start(docs: DataFrame, centroids: Seq[(Long, Array[Double])],
       storeDir: String, flagDir: String, checkpoint: String,
-      threshold: Double = 0.9, nprobe: Int = 2): StreamingQuery =
+      threshold: Double = 0.9, nprobe: Int = 2,
+      autoCompactBatches: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, centroids, storeDir, flagDir,
           threshold, nprobe)
+        if (autoCompactBatches > 0 && StoreMaint.uncompactedBatches(
+            batch.sparkSession, storeDir) >= autoCompactBatches)
+          compactStore(batch.sparkSession, storeDir)
       }
       .start()
 
@@ -74,8 +80,11 @@ object StreamingSemanticDedup {
         .collect().map(_.getLong(0))
       val store =
         if (exists(spark, storeDir))
+          // src_batch (not the batch_id dir) is the visibility key: it
+          // survives compaction, so late replays stay deterministic
           Some(spark.read.parquet(storeDir)
-            .filter(col("batch_id") < batchId).drop("batch_id")
+            .filter(col("src_batch") < batchId)
+            .drop("batch_id", "src_batch")
             .filter(col("bucket").isin(probedBuckets: _*)))
         else None
       val cos = (graft.plans.VecDot.dot(col("emb"), col("emb_b")) /
@@ -107,37 +116,21 @@ object StreamingSemanticDedup {
       flagged.write.mode(SaveMode.Overwrite)
         .parquet(s"$flagDir/batch_id=$batchId")
       assigned.select(col("doc_id"), col("bucket"), col("emb"), col("_n"))
+        .withColumn("src_batch", lit(batchId))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite)
         .parquet(s"$storeDir/batch_id=$batchId")
     } finally assigned.unpersist()
   }
 
-  /** Compact the vector store: drop cross-batch duplicate rows and rewrite
-    * the per-batch trees into one `batch_id=-1` tree partitioned by
-    * `bucket` (atomic dir swap), so probes keep pruning at the source as
-    * batches accumulate. Schedule between batches like
-    * [[StreamingDedup.compactStore]].
+  /** Compact the vector store: merge cross-batch duplicate rows (keeping
+    * the earliest `src_batch` — see [[StoreMaint.compactTree]]) and
+    * rewrite the per-batch trees into one `batch_id=-1` tree partitioned
+    * by `bucket` (atomic dir swap), so probes keep pruning at the source
+    * as batches accumulate. Schedule between batches like
+    * [[StreamingDedup.compactStore]] (or via `autoCompactBatches`).
     */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    // swap through the Hadoop FileSystem the store actually lives on —
-    // processBatch resolves storeDir through it, so compaction must too
-    // (java.nio would silently not exist for an hdfs:// store). rename is
-    // atomic on HDFS/local; for S3-like stores use the manifest pattern.
-    val storePath = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(storeDir + "__old")
-    spark.read.parquet(storeDir)
-      .select(col("doc_id"), col("bucket"), col("emb"), col("_n"))
-      .distinct()
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "batch_id=-1").toString)
-    if (!fs.rename(storePath, old))
-      throw new java.io.IOException(s"compactStore: rename $storeDir -> $old failed")
-    if (!fs.rename(tmp, storePath))
-      throw new java.io.IOException(s"compactStore: rename $tmp -> $storeDir failed")
-    fs.delete(old, true): Unit
-  }
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    StoreMaint.compactTree(spark, storeDir, "bucket",
+      Seq("doc_id", "emb", "_n"))
 }

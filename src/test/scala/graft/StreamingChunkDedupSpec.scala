@@ -85,4 +85,39 @@ class StreamingChunkDedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rep(2L)._2 == 0L, s"replay must not self-flag: ${rep(2L)}")
   }
+
+  test("compaction preserves src_batch visibility and the store prunes by hb") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chunkdedup4").toString
+    val (store, flags) = (s"$dir/store", s"$dir/flags")
+    val textA = "alpha paragraph that chunks into several content defined " +
+      "pieces for the compaction visibility check " * 3
+    val textB = "beta body with its own distinct stream of words so its " +
+      "chunks never collide with the alpha text at all " * 3
+    def b(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamingChunkDedup.processBatch(b((1L, textA)), 0L, store, flags)
+    StreamingChunkDedup.processBatch(b((2L, textB)), 1L, store, flags)
+    StreamingChunkDedup.processBatch(b((3L, textA)), 2L, store, flags)
+    def rep(doc: Long) = spark.read.parquet(flags)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap.apply(doc)
+    assert(rep(3L)._2 == rep(3L)._1, s"doc 3 fully dup pre-compaction: ${rep(3L)}")
+    StreamingChunkDedup.compactStore(spark, store)
+    // single batch_id=-1 tree, hb partition dirs inside, probe prunes
+    val dirs = Option(new java.io.File(store).listFiles).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs == Seq("batch_id=-1"), dirs.toString)
+    val plan = spark.read.parquet(store).filter($"hb".isin(1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*".r.findFirstIn(plan).exists(_.contains("hb")),
+      plan.take(600))
+    // late replays after compaction: batch 2's probe still sees doc 1's
+    // chunks (src_batch=0) but batch 1's replay must NOT see textA chunks
+    // re-labeled under batch_id=-1, nor its own prior write
+    StreamingChunkDedup.processBatch(b((3L, textA)), 2L, store, flags)
+    assert(rep(3L)._2 == rep(3L)._1, s"doc 3 fully dup post-compaction: ${rep(3L)}")
+    StreamingChunkDedup.processBatch(b((2L, textB)), 1L, store, flags)
+    assert(rep(2L)._2 == 0L, s"replayed doc 2 must stay novel: ${rep(2L)}")
+  }
 }

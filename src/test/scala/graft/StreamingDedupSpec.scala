@@ -39,13 +39,15 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(flags.contains((3L, 1L)), flags.toString) // cross-batch near-dup
       assert(flags.contains((5L, 4L)), flags.toString) // within-batch dup
       assert(!flags.exists(_._1 == 2L) && !flags.exists(_._1 == 4L))
-      // store accumulated signatures for all five docs
-      assert(spark.read.parquet(storeDir).select("doc_id")
+      // store accumulated: one shingle payload per doc (docs tree), and
+      // posting keys for all five docs (keys tree)
+      assert(spark.read.parquet(storeDir + "/docs").count() == 5)
+      assert(spark.read.parquet(storeDir + "/keys").select("doc_id")
         .distinct().count() == 5)
     } finally q.stop()
   }
 
-  test("replay is idempotent; compaction preserves probes and prunes by band") {
+  test("replay is idempotent; compaction preserves probes and prunes by bucket") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact").toString
     val store = base + "/store"
@@ -56,10 +58,13 @@ class StreamingDedupSpec extends AnyFunSuite {
     // per-batch overwrite must leave the store and flags unchanged
     StreamingDedup.processBatch(batch((1L, a), (2L, b)), 0L, store, flagsA, 64, 16, 0.5)
     StreamingDedup.processBatch(batch((10L, c)), 1L, store, flagsA, 64, 16, 0.5)
-    val storeOnce = spark.read.parquet(store).collect().toSet
+    def storeRows() =
+      spark.read.parquet(store + "/keys").collect().toSet ->
+        spark.read.parquet(store + "/docs").collect().toSet
+    val storeOnce = storeRows()
     val flagsOnce = spark.read.parquet(flagsA).collect().toSet
     StreamingDedup.processBatch(batch((10L, c)), 1L, store, flagsA, 64, 16, 0.5)
-    assert(spark.read.parquet(store).collect().toSet == storeOnce,
+    assert(storeRows() == storeOnce,
       "replayed batch must rewrite its partition, not double-append")
     assert(spark.read.parquet(flagsA).collect().toSet == flagsOnce)
     // and the replay must not flag doc 10 against its own failed write
@@ -88,10 +93,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     // (counted BEFORE the probe batch adds its own tree back)
     val filesAfter = parquetFiles(store2)
     assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
-    val post = spark.read.parquet(store2)
-      .select($"doc_id", $"band", $"bk", $"sh")
-    assert(post.count() == post.distinct().count()) // cross-batch dups gone
-    assert(post.select("doc_id").distinct().count() == 3)
+    val postKeys = spark.read.parquet(store2 + "/keys")
+      .select($"doc_id", $"band", $"bk")
+    assert(postKeys.count() == postKeys.distinct().count()) // cross-batch dups gone
+    assert(postKeys.select("doc_id").distinct().count() == 3)
+    // merged rows keep the EARLIEST src_batch (doc 10 was first visible
+    // at batch 1, not at its batch-5 re-ingest)
+    assert(spark.read.parquet(store2 + "/docs")
+      .filter($"doc_id" === 10L).select("src_batch")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
     StreamingDedup.processBatch(batch((3L, aDup)), 2L, store2, flagsB, 64, 16, 0.5)
     val got = spark.read.parquet(flagsB)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -99,15 +109,69 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got == expected.filter(_._1 == 3L), s"got=$got expected=$expected")
     assert(got.contains((3L, 1L)))
 
-    // compacted layout: batch_id=-1/band=N partition dirs, and a band
-    // probe prunes at the source
-    val dirs = new java.io.File(store2 + "/batch_id=-1").listFiles
+    // compacted layout: batch_id=-1/bucket=N partition dirs under the keys
+    // tree, and a bucket probe prunes at the source
+    val dirs = new java.io.File(store2 + "/keys/batch_id=-1").listFiles
       .filter(_.isDirectory)
-    assert(dirs.exists(_.getName.startsWith("band=")))
-    val probePlan = spark.read.parquet(store2).filter($"band" === 3)
+    assert(dirs.exists(_.getName.startsWith("bucket=")))
+    val probePlan = spark.read.parquet(store2 + "/keys")
+      .filter($"bucket".isin(3L, 7L))
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters") &&
-      probePlan.contains("band"), probePlan)
+      "PartitionFilters: \\[[^\\]]*".r.findFirstIn(probePlan)
+        .exists(_.contains("bucket")), probePlan)
+  }
+
+  test("late replay after compaction still excludes later batches (src_batch)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_replay_compact").toString
+    val store = base + "/store"
+    val flags = base + "/flags"
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // batch 0: original; batch 1: near-dup (flags (3,1) at J≈0.9);
+    // batch 2: EXACT copy of batch 1's text (J=1.0 with doc 3)
+    StreamingDedup.processBatch(batch((1L, a)), 0L, store, flags, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((3L, aDup)), 1L, store, flags, 64, 16, 0.5)
+    StreamingDedup.processBatch(batch((5L, aDup)), 2L, store, flags, 64, 16, 0.5)
+    val before = spark.read.parquet(flags + "/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((3L, 1L)), before.toString)
+    StreamingDedup.compactStore(spark, store)
+    // late replay of batch 1 AFTER batch 2 committed and the store was
+    // compacted: without src_batch the compacted tree (batch_id=-1) would
+    // expose doc 5 (J=1.0 beats J≈0.9) and the flag would flip to (3,5) —
+    // the r9 ADVICE hole. With src_batch preserved it must NOT.
+    StreamingDedup.processBatch(batch((3L, aDup)), 1L, store, flags, 64, 16, 0.5)
+    val after = spark.read.parquet(flags + "/batch_id=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"replay after compaction changed flags: $after")
+  }
+
+  test("auto-compaction fires inside the streaming loop and keeps flags correct") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = Files.createTempDirectory("graft_autocompact").toString
+    val storeDir = base + "/store"
+    val flagDir = base + "/flags"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(in.toDF().toDF("doc_id", "text"),
+      storeDir, flagDir, base + "/ckpt", autoCompactBatches = 2)
+    try {
+      in.addData((1L, a)); q.processAllAvailable()
+      in.addData((2L, b)); q.processAllAvailable() // 2 trees → compacts
+      def batchDirs(sub: String) =
+        Option(new java.io.File(s"$storeDir/$sub").listFiles).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+          .map(_.getName).toSet
+      assert(batchDirs("keys").contains("batch_id=-1"),
+        s"auto-compaction did not fire: ${batchDirs("keys")}")
+      assert(batchDirs("keys") == Set("batch_id=-1"), batchDirs("keys").toString)
+      // post-compaction the stream keeps flowing and probing correctly
+      in.addData((3L, aDup)); q.processAllAvailable()
+      val got = spark.read.parquet(flagDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 1L)), got.toString)
+    } finally q.stop()
   }
 
   test("dropDuplicatesWithinWatermark: exact streaming dedup matches batch distinct") {
