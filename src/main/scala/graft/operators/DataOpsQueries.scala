@@ -315,7 +315,11 @@ object DataOpsQueries {
   def qKnnJoinIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Sources.embeddings(s, dir)
-    val cents: Seq[(Long, Array[Double])] = emb.filter($"vec_id" < 6)
+    // K=32 coarse buckets (nprobe=2 of 32): per-query candidate mass is
+    // n/16 — the r9 K=6 config probed a third of the corpus per query,
+    // which made the candidate stage the catalog's worst sf2 mover. An
+    // IVF coarse quantizer should grow with √n, not stay constant.
+    val cents: Seq[(Long, Array[Double])] = emb.filter($"vec_id" < 32)
       .select($"vec_id".cast("long"), $"embedding")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -559,6 +563,56 @@ object DataOpsQueries {
       .orderBy($"bands")
   }
 
+  /** SAMPLED band-configuration sweep — the 100 TB form of [[qLshSweep]],
+    * the same protocol that rescued the minhash/simhash evals
+    * (q_minhash_eval_sampled): both arms run inside the deterministic
+    * 25 % id-hash sample (`doc_id % 4 = 0`), so the quadratic exact
+    * ground truth AND the per-banding candidate/verify work drop by
+    * sample² (16×) while the recall ratio stays an unbiased estimate —
+    * banding is PAIRWISE-LOCAL (a pair's band collision depends only on
+    * its two signatures), so sampling the input corpus yields exactly
+    * the sample-restricted pair sets of a full-corpus run. One 64-hash
+    * signature pass ([[Dedup.minhashSigs]]) is shared by all three
+    * bandings; [[qLshSweep]] remains the full-exact tuning form for
+    * small scale factors.
+    */
+  def qLshSweepSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir).filter($"doc_id" % 4 === 0)
+      .localCheckpoint(true)
+    val hashed = docs.select($"doc_id", $"sh".as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
+        .localCheckpoint(true) // ONE signature pass for all three bandings
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+        preHashed = true)
+        .agg(count(lit(1)).as("n_exact_sample"))
+      val jac = size(array_intersect($"_sh", $"_sh_b")).cast("double") /
+        size(array_union($"_sh", $"_sh_b"))
+      val rows = Seq(8, 16, 32).map { b =>
+        val banded = Dedup.bandKeysFromSig(signed, "doc_id", 64, b)
+        val other = banded.select($"doc_id".as("doc_id_b"), $"band", $"bk")
+        banded.join(other, Seq("band", "bk"))
+          .filter($"doc_id" < $"doc_id_b")
+          .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b")).distinct()
+          .join(hashed.select($"doc_id".as("doc_a"), $"_sh"), "doc_a")
+          .join(hashed.select($"doc_id".as("doc_b"), $"_sh".as("_sh_b")),
+            "doc_b")
+          .filter(jac >= 0.5)
+          .agg(count(lit(1)).as("n_lsh_sample"))
+          .select(lit(b.toLong).as("bands"), $"n_lsh_sample")
+      }
+      rows.reduce(_.unionByName(_))
+        .crossJoin(broadcast(exact))
+        .select($"bands", $"n_lsh_sample", $"n_exact_sample",
+          expr("n_lsh_sample * 1000000L DIV greatest(n_exact_sample, 1)")
+            .as("rec_ppm"))
+        .orderBy($"bands")
+        .localCheckpoint(true)
+    } finally hashed.unpersist()
+  }
+
   /** Near-dup cluster-size histogram — the dedup REPORT: how much of the
     * corpus sits in duplicate clusters of each size (the number a data
     * curator reads before deciding thresholds). Reuses the MinHash-LSH
@@ -636,6 +690,7 @@ object DataOpsQueries {
     "q_simhash_eval" -> qSimhashEval,
     "q_simhash_eval_sampled" -> qSimhashEvalSampled,
     "q_lsh_sweep" -> qLshSweep,
+    "q_lsh_sweep_sampled" -> qLshSweepSampled,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
@@ -666,7 +721,14 @@ object DataOpsQueries {
     * one banded/cand/count chain per band configuration, and the exact
     * pair count from the integer-form Jaccard gate.
     */
-  private def lshSweepOracle: String = {
+  private def lshSweepOracle: String = lshSweepOracleFor("TRUE", "")
+
+  /** Same chain with the corpus restricted by `where` and count columns
+    * suffixed (the q_lsh_sweep_sampled twin — sampling the input corpus
+    * IS restricting the pair universe, since band collisions are
+    * pairwise-local).
+    */
+  private def lshSweepOracleFor(where: String, sfx: String): String = {
     def chain(b: Int): String = {
       val r = 64 / b
       s"""banded$b AS (
@@ -685,7 +747,7 @@ object DataOpsQueries {
     }
     s"""WITH hashed AS (
        |  SELECT doc_id, list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")})) AS hs
-       |  FROM documents),
+       |  FROM documents WHERE $where),
        |ne AS (SELECT doc_id, hs FROM hashed WHERE len(hs) > 0),
        |sig0 AS (
        |  SELECT doc_id,
@@ -705,7 +767,8 @@ object DataOpsQueries {
        |  WHERE 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
        |${Seq(8, 16, 32).map(chain).mkString(",\n")}
        |SELECT * FROM (
-       |  SELECT CAST(8 AS BIGINT) AS bands, n_lsh, n_exact,
+       |  SELECT CAST(8 AS BIGINT) AS bands, n_lsh AS n_lsh$sfx,
+       |    n_exact AS n_exact$sfx,
        |    n_lsh * 1000000 // GREATEST(n_exact, 1) AS rec_ppm
        |  FROM cnt8, exact
        |  UNION ALL SELECT 16, n_lsh, n_exact,
@@ -950,6 +1013,7 @@ object DataOpsQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "q_lsh_sweep" -> lshSweepOracle,
+    "q_lsh_sweep_sampled" -> lshSweepOracleFor("doc_id % 4 = 0", "_sample"),
     "q_simhash_eval" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_transform($W, w -> ${md("w")}) AS tok,
@@ -1094,7 +1158,7 @@ object DataOpsQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_knn_join_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |  WHERE vec_id < 6),
+         |  WHERE vec_id < 32),
          |fan AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id

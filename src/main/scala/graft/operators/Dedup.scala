@@ -83,9 +83,10 @@ object Dedup {
     * filtering after pair generation would pay the full quadratic
     * candidate cost for pairs the caller then throws away.
     */
-  /** Prefix postings under the RAREST-FIRST global order — each document
-    * posts its `prefixLen` elements of smallest `(document frequency,
-    * hash)`. Any common total order keeps the prefix filter lossless (the
+  /** Rank-annotated postings under the RAREST-FIRST global order — every
+    * (doc, hash) posting carries the hash's 1-based position `_pos` in the
+    * doc's `(document frequency, hash)` order plus the doc's set size
+    * `_n`. Any common total order keeps the prefix filter lossless (the
     * smallest shared element of a qualifying pair lands in both prefixes
     * by the upward-closed-suffix argument), but the ORDER CHOICE drives
     * the candidate volume: the posting join's output is Σ_h q_h·i_h, and
@@ -96,37 +97,72 @@ object Dedup {
     * Rarest-first empties the prefixes of exactly the high-df postings,
     * collapsing q_h for every frequent h. Costs two linear exchanges (df
     * aggregate + annotate) and one per-doc window — all O(postings).
+    * Callers take their prefix with `filter(_pos <= plen)`; `_pos` also
+    * feeds the PPJoin positional filter (see [[prefixCandidates]]).
     */
-  private def dfOrderedPrefixPosts(base: DataFrame, idCol: String,
-      bandCols: Seq[String], prefixLen: Column): DataFrame = {
+  private def dfOrderedPosts(base: DataFrame, idCol: String,
+      bandCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posts = base.select(
-      (bandCols.map(col) :+ col(idCol)) :+
-        prefixLen.cast("int").as("_plen") :+ explode(col("_sh")).as("_h"): _*)
+      (bandCols.map(col) :+ col(idCol)) :+ col("_n") :+
+        explode(col("_sh")).as("_h"): _*)
     // _sh is distinct per doc, so count(*) per hash IS document frequency
     val dfTab = posts.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
     posts.join(dfTab, "_h")
-      .withColumn("_rk", row_number().over(
+      .withColumn("_pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_h"))))
-      .filter(col("_rk") <= col("_plen"))
-      .select((bandCols.map(col) :+ col(idCol)) :+ col("_h"): _*)
+      .select((bandCols.map(col) :+ col(idCol)) :+ col("_n") :+
+        col("_h") :+ col("_pos"): _*)
+  }
+
+  /** Candidate pairs for the symmetric-Jaccard posting join — exposed
+    * package-private so the scale probes can A/B the `positional` filter's
+    * candidate mass; [[jaccardPairsOn]] always runs with it on.
+    *
+    * PPJoin positional filter (Xiao et al.): a match of hash h at 1-based
+    * ranks (i, j) of the two docs' shared global order bounds the overlap
+    * — every shared element sits at rank ≥ i in A and ≥ j in B once h is
+    * the pair's FIRST shared element, so o ≤ 1 + min(n_a−i, n_b−j). J ≥ t
+    * ⟺ o·(1+t) ≥ t·(n_a+n_b); a pair survives if ANY of its prefix
+    * matches could still reach that bar. Lossless: for a qualifying pair
+    * the first-shared-element match is in both prefixes (the prefix
+    * lemma) and its bound ≥ the true overlap. The filter runs INSIDE the
+    * posting join output, before the distinct and the verify join — the
+    * two stages whose input it shrinks.
+    */
+  private[graft] def prefixCandidates(base: DataFrame, idCol: String,
+      bandCols: Seq[String], threshold: Double,
+      pairPredicate: Option[Column] = None,
+      positional: Boolean = true): DataFrame = {
+    // prefix-filtering (AllPairs): under a global element order, two sets
+    // with J >= t must share an element within their first
+    // n - ceil(t*n) + 1 elements — only prefix postings enter the join,
+    // and the prefix is taken rarest-first (see dfOrderedPosts)
+    val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
+    val posts = dfOrderedPosts(base, idCol, bandCols)
+      .filter(col("_pos") <= prefixLen)
+    val rhs = posts.toDF(posts.columns.map(c =>
+      if (bandCols.contains(c) || c == "_h") c else s"${c}_b"): _*)
+    // overlap upper bound at this match; the -1e-9 slack keeps borderline
+    // float equality on the LENIENT side (can only under-prune — the
+    // verify step recomputes exact J, so losslessness is never at risk)
+    val ubound = lit(1) +
+      least(col("_n") - col("_pos"), col("_n_b") - col("_pos_b"))
+    val positionalOk =
+      ubound * (1.0 + threshold) >=
+        (col("_n") + col("_n_b")) * threshold - 1e-9
+    posts.join(rhs, bandCols :+ "_h")
+      .filter(pairPredicate.foldLeft(col(idCol) < col(s"${idCol}_b"))(_ && _))
+      .filter(if (positional) positionalOk else lit(true))
+      .select(col(idCol), col(s"${idCol}_b"))
+      .distinct()
   }
 
   private def jaccardPairsOn(base: DataFrame, idCol: String,
       bandCols: Seq[String], threshold: Double,
       pairPredicate: Option[Column] = None): DataFrame = {
-    // prefix-filtering (AllPairs): under a global element order, two sets
-    // with J >= t must share an element within their first
-    // n - ceil(t*n) + 1 elements — only prefix postings enter the join,
-    // and the prefix is taken rarest-first (see dfOrderedPrefixPosts)
-    val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
-    val posts = dfOrderedPrefixPosts(base, idCol, bandCols, prefixLen)
-    val rhs = posts.toDF(posts.columns.map(c =>
-      if (bandCols.contains(c) || c == "_h") c else s"${c}_b"): _*)
-    val candidates = posts.join(rhs, bandCols :+ "_h")
-      .filter(pairPredicate.foldLeft(col(idCol) < col(s"${idCol}_b"))(_ && _))
-      .select(col(idCol), col(s"${idCol}_b"))
-      .distinct()
+    val candidates = prefixCandidates(base, idCol, bandCols, threshold,
+      pairPredicate)
     val aSide = base.select(col(idCol), col("_sh"), col("_n"))
     val bSide = aSide.toDF(s"${idCol}_b", "_sh_b", "_n_b")
     candidates.join(aSide, idCol).join(bSide, s"${idCol}_b")
@@ -162,21 +198,7 @@ object Dedup {
       .withColumn("_n", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
-      val ceilTn = (col("_n") * num + (den - 1)) / den
-      val prefixLen = (col("_n") - ceilTn.cast("int") + 1)
-      // containment only constrains the QUERY side's subset choice (the
-      // index posts everything), so rarest-first needs no global-order
-      // argument here at all — it simply keeps frequent shingles out of
-      // the candidate join's query side
-      val queryPosts = dfOrderedPrefixPosts(base, idCol, Seq.empty, prefixLen)
-        .select(col(idCol).as("_a"), col("_h"))
-      val indexPosts = base.select(col(idCol).as("_b"),
-        explode(col("_sh")).as("_h"))
-      val candidates = queryPosts.join(indexPosts, "_h")
-        .filter(col("_a") =!= col("_b"))
-        .select(col("_a"), col("_b"))
-        .distinct()
+      val candidates = containmentCandidates(base, idCol, num, den)
       val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
         col("_n").as("_n_a"))
       val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
@@ -189,6 +211,48 @@ object Dedup {
           (col("_c").cast("double") / col("_n_a")).as("containment"))
         .localCheckpoint(true)
     } finally base.unpersist()
+  }
+
+  /** Candidate (query, index) pairs for the containment posting join —
+    * package-private for the scale probes' positional-filter A/B;
+    * [[containmentPairs]] always runs with `positional` on.
+    *
+    * The query side posts its `n - ceil(t·n) + 1` smallest hashes (any
+    * pair with C ≥ t must share one of them — else A∩B fits inside A's
+    * top `ceil(t·n) - 1` elements, a contradiction), the index side
+    * posts everything, and BOTH sides carry their rarest-first rank so
+    * the positional filter can bound the overlap pairwise: a match at
+    * ranks (i, j) of the pair's first shared element bounds
+    * |A∩B| ≤ 1 + min(n_a−i, n_b−j), and C ≥ t needs |A∩B|·den ≥ n_a·num
+    * — all-integer, so float rounding can never break losslessness. (The
+    * query-side-only bound `1 + n_a − i ≥ ceil(t·n_a)` is a tautology at
+    * every prefix position — the prefix length is chosen as exactly the
+    * positions that satisfy it — which is why the index side's rank is
+    * what makes the filter bite.)
+    */
+  private[graft] def containmentCandidates(base: DataFrame, idCol: String,
+      num: Int, den: Int, positional: Boolean = true): DataFrame = {
+    // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
+    val ceilTn = ((col("_n") * num + (den - 1)) / den).cast("int")
+    val prefixLen = col("_n") - ceilTn + 1
+    // rarest-first keeps frequent shingles out of the candidate join's
+    // query side AND gives both sides the shared global rank the
+    // positional filter needs — one window over all postings, reused by
+    // both branches of the self-join
+    val ranked = dfOrderedPosts(base, idCol, Seq.empty)
+    val queryPosts = ranked.filter(col("_pos") <= prefixLen)
+      .select(col(idCol).as("_a"), col("_h"),
+        col("_pos").as("_pos_a"), col("_n").as("_n_a"))
+    val indexPosts = ranked.select(col(idCol).as("_b"), col("_h"),
+      col("_pos").as("_pos_b"), col("_n").as("_n_b"))
+    val ubound = lit(1) +
+      least(col("_n_a") - col("_pos_a"), col("_n_b") - col("_pos_b"))
+    queryPosts.join(indexPosts, "_h")
+      .filter(col("_a") =!= col("_b"))
+      .filter(if (positional) ubound * den >= col("_n_a") * num
+        else lit(true))
+      .select(col("_a"), col("_b"))
+      .distinct()
   }
 
   /** One-permutation-hashing MinHash signature (Li et al.): each doc's
@@ -232,13 +296,29 @@ object Dedup {
     * band-compatible.
     */
   def minhashBandKeys(hashed: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    bandKeysFromSig(minhashSigs(hashed, idCol, numHashes), idCol,
+      numHashes, bands)
+
+  /** One-pass native OPH signature (graft.plans.MinHashAgg) for a
+    * pre-hashed (idCol, _sh: array<bigint>) frame → (idCol, _sig).
+    */
+  def minhashSigs(hashed: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    graft.plans.MinHashAgg.register(hashed.sparkSession, numHashes)
+    hashed.select(col(idCol), explode(col("_sh")).as("_h"))
+      .groupBy(col(idCol))
+      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
+  }
+
+  /** Band-key explosion of a PRECOMPUTED signature frame (idCol, _sig) —
+    * factored out of [[minhashBandKeys]] so a band-configuration sweep
+    * (q_lsh_sweep*) shares ONE corpus signature pass across all its
+    * bandings instead of re-aggregating per configuration.
+    */
+  def bandKeysFromSig(signed: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val hashedRows = hashed.select(col(idCol), explode(col("_sh")).as("_h"))
-    // one-pass native signature aggregate (graft.plans.MinHashAgg)
-    graft.plans.MinHashAgg.register(hashed.sparkSession, numHashes)
-    val signed = hashedRows.groupBy(col(idCol))
-      .agg(graft.plans.MinHashAgg.minhashSig(col("_h")).as("_sig"))
     signed
       .withColumn("_band", explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),

@@ -316,7 +316,8 @@ object Similarity {
   def knnJoinIvf(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       centroids: Seq[(Long, Array[Double])], nprobe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, boundedPrune: Boolean = true,
+      pruneSampleMod: Int = 16, prunePrefixDims: Int = 32): DataFrame = {
     require(centroids.nonEmpty, "knnJoinIvf: no centroids")
     require(nprobe >= 1, "knnJoinIvf: nprobe must be >= 1")
     val spark = emb.sparkSession
@@ -363,13 +364,75 @@ object Similarity {
       "query_id", "_qv", centroids, nprobe)
       .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
       .withColumn("_qn", sqrt(graft.plans.VecDot.dot(col("_qv"), col("_qv"))))
+    val cosExpr = (graft.plans.VecDot.dot(col("_nv"), col("_qv")) /
+      (col("_nn") * col("_qn"))).as("cos")
+    // LOSSLESS bound-prune of the exact-cosine candidate stage (the sf2
+    // wall is Q·nprobe·n/K candidate pairs each paying a dim-length dot):
+    //
+    //  1. τ pass — exact cosines against only the 1/`pruneSampleMod`
+    //     id-hash SAMPLE of the corpus side; τ(q) = the kth best sampled
+    //     cos (−∞ when a query has fewer than k sampled candidates). τ is
+    //     a LOWER bound on q's true kth-best candidate cosine because the
+    //     sampled candidates are a subset of the real ones.
+    //  2. prune pass — every candidate pair first pays only a
+    //     `prunePrefixDims`-length prefix dot: by Cauchy-Schwarz on the
+    //     remaining block, cos ≤ ub = (dot_p + ‖a_rest‖·‖b_rest‖)/(‖a‖‖b‖)
+    //     (rest-norms precomputed per ROW, not per pair). Any pair with
+    //     ub < τ − 1e-9 cannot enter the top k (its cos ≤ ub < τ ≤ kth
+    //     best) and is dropped BEFORE the full-dim dot; the slack keeps
+    //     borderline float rounding on the under-pruning side, so the
+    //     output — and the SQL oracle — is bit-identical to the unpruned
+    //     route. Survivors are re-scored with the exact full-dim cosine.
+    //
+    // τ flows through the PROBE side (Q·nprobe·salts rows), never joined
+    // against the exploded candidate set; the τ pass costs 1/sampleMod of
+    // one candidate stage and the prefix dot costs p/dim of one — worth it
+    // whenever the survivor fraction is materially below 1 (clustered
+    // embeddings; the property spec + oracle pin exactness either way).
+    if (!boundedPrune) {
+      val candidates = corpus.join(probes, Seq("bucket", "_salt"))
+        .filter(not(lit(excludeSelf) && col("_nid") === col("query_id")))
+        .select(col("query_id"), col("_nid"), cosExpr)
+      return candidates
+        .groupBy(col("query_id"))
+        .agg(graft.plans.TopKDoubleAgg.topkd(k, col("cos"), col("_nid"))
+          .as("_tk"))
+        .select(col("query_id"), explode(col("_tk")).as("_e"))
+        .select(col("query_id"), col("_e.id").as(idCol),
+          col("_e.score").as("cos"))
+    }
+    val probesT = {
+        val tau = corpus
+          .filter(pmod(hash(col("_nid")), lit(pruneSampleMod)) === 0)
+          .join(probes, Seq("bucket", "_salt"))
+          .filter(not(lit(excludeSelf) && col("_nid") === col("query_id")))
+          .select(col("query_id"), col("_nid"), cosExpr)
+          .groupBy(col("query_id"))
+          .agg(graft.plans.TopKDoubleAgg.topkd(k, col("cos"), col("_nid"))
+            .as("_tk"))
+          .select(col("query_id"),
+            when(size(col("_tk")) === k,
+              element_at(col("_tk"), k).getField("score"))
+              .otherwise(lit(Double.NegativeInfinity)).as("_tau"))
+        probes.join(tau, Seq("query_id"), "left")
+          .withColumn("_tau",
+            coalesce(col("_tau"), lit(Double.NegativeInfinity)))
+      }
+    def withPrefix(df: DataFrame, vec: String, pv: String, rest: String) =
+      df.withColumn(pv, slice(col(vec), 1, prunePrefixDims))
+        .withColumn(rest, sqrt(greatest(lit(0.0),
+          graft.plans.VecDot.dot(col(vec), col(vec)) -
+            graft.plans.VecDot.dot(col(pv), col(pv)))))
+    val corpusP = withPrefix(corpus, "_nv", "_pv", "_rr")
+    val probesP = withPrefix(probesT, "_qv", "_pqv", "_qr")
+    val ub = (graft.plans.VecDot.dot(col("_pv"), col("_pqv")) +
+      col("_rr") * col("_qr")) / (col("_nn") * col("_qn"))
     // Project vectors away the moment the cosine is computed — the top-k
     // reduction sees only (query_id, id, cos) rows, never the vectors.
-    val candidates = corpus.join(probes, Seq("bucket", "_salt"))
+    val candidates = corpusP.join(probesP, Seq("bucket", "_salt"))
       .filter(not(lit(excludeSelf) && col("_nid") === col("query_id")))
-      .select(col("query_id"), col("_nid"),
-        (graft.plans.VecDot.dot(col("_nv"), col("_qv")) /
-          (col("_nn") * col("_qn"))).as("cos"))
+      .filter(ub >= col("_tau") - 1e-9)
+      .select(col("query_id"), col("_nid"), cosExpr)
     // Bounded top-k instead of a rank window: partial aggregation keeps a
     // k-entry heap per query per map task, so the exchange carries at most
     // partitions×Q×k entries instead of sorting every candidate pair.

@@ -74,4 +74,31 @@ class KnnJoinIvfPropertySpec extends AnyFunSuite {
           s"missing=${(expect -- got).take(5)}\nextra=${(got -- expect).take(5)}")
     }
   }
+
+  test("bound-prune is lossless when the prefix genuinely truncates (dim > p)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    // 64-dim CLUSTERED corpus (so τ is high and the prune actually bites):
+    // 8 anchor directions + per-vector noise
+    val dim = 64
+    val anchors = Array.fill(8)(Array.fill(dim)(rng.nextGaussian()))
+    val corpus = (0 until 400).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, Array.tabulate(dim)(d =>
+        (a(d) + 0.3 * rng.nextGaussian()).toFloat))
+    }
+    val cents = (0 until 6).map(c =>
+      (c.toLong, Array.fill(dim)(rng.nextGaussian()))).toSeq
+    val queries = corpus.filter(_._1 % 5 == 0)
+    def run(prune: Boolean) = Similarity.knnJoinIvf(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      queries.toDF("qid", "qv"), "qid", "qv", k = 3, cents, nprobe = 2,
+      boundedPrune = prune, pruneSampleMod = 4, prunePrefixDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unpruned = run(prune = false)
+    val pruned = run(prune = true)
+    assert(pruned == unpruned,
+      s"missing=${(unpruned -- pruned).take(5)}\n" +
+        s"extra=${(pruned -- unpruned).take(5)}")
+  }
 }

@@ -79,4 +79,67 @@ class PrefixFilterPropertySpec extends AnyFunSuite {
     assert(got == want,
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  // base frame exactly as jaccardPairs/containmentPairs prepare it
+  // (preHashed path): sorted distinct hash array + set size
+  private def baseFrame(docs: Seq[(Long, Set[Long])]) = {
+    import spark.implicits._
+    docs.map { case (id, s) => (id, s.toArray.sorted) }
+      .toDF("doc_id", "_sh")
+      .withColumn("_n", size($"_sh"))
+  }
+
+  test("positional filter is lossless and strictly cuts jaccard candidates") {
+    import spark.implicits._
+    for (seed <- Seq(3, 7, 19)) {
+      val docs = corpus(seed)
+      val base = baseFrame(docs)
+      def cands(positional: Boolean): Set[(Long, Long)] =
+        Dedup.prefixCandidates(base, "doc_id", Seq.empty, 0.5,
+            positional = positional)
+          .as[(Long, Long)].collect().toSet
+      val without = cands(positional = false)
+      val withPos = cands(positional = true)
+      // every surviving candidate was already a candidate, every TRUE pair
+      // still survives (losslessness), and the filter actually bites
+      assert(withPos.subsetOf(without))
+      val truePairs = (for {
+        (a, sa) <- docs; (b, sb) <- docs
+        if a < b && jac(sa, sb) >= 0.5
+      } yield (a, b)).toSet
+      assert(truePairs.subsetOf(withPos),
+        s"seed=$seed dropped true pairs: ${(truePairs -- withPos).take(5)}")
+      assert(withPos.size < without.size,
+        s"seed=$seed positional filter pruned nothing " +
+          s"(${withPos.size} of ${without.size})")
+    }
+  }
+
+  test("positional filter is lossless and cuts containment candidates") {
+    import spark.implicits._
+    for (seed <- Seq(5, 11)) {
+      val docs = corpus(seed)
+      val subs = docs.take(10).map { case (id, s) =>
+        (id + 5) -> s.toVector.sortBy(identity).dropRight(1).toSet
+      }
+      val all = docs ++ subs
+      val base = baseFrame(all)
+      def cands(positional: Boolean): Set[(Long, Long)] =
+        Dedup.containmentCandidates(base, "doc_id", num = 4, den = 5,
+            positional = positional)
+          .as[(Long, Long)].collect().toSet
+      val without = cands(positional = false)
+      val withPos = cands(positional = true)
+      assert(withPos.subsetOf(without))
+      val truePairs = (for {
+        (a, sa) <- all; (b, sb) <- all
+        if a != b && (sa & sb).size * 5 >= sa.size * 4
+      } yield (a, b)).toSet
+      assert(truePairs.subsetOf(withPos),
+        s"seed=$seed dropped true pairs: ${(truePairs -- withPos).take(5)}")
+      assert(withPos.size < without.size,
+        s"seed=$seed positional filter pruned nothing " +
+          s"(${withPos.size} of ${without.size})")
+    }
+  }
 }
