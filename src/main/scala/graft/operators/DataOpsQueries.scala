@@ -544,23 +544,49 @@ object DataOpsQueries {
     * extra anti-join. This is the report that justifies the b=16 default
     * the dedup family ships with.
     */
-  def qLshSweep(s: SparkSession, dir: String): DataFrame = {
+  def qLshSweep(s: SparkSession, dir: String): DataFrame =
+    lshSweepOn(s, withHashedShingles(s, dir), "")
+
+  /** Shared sweep body: ONE 64-hash signature pass feeds all three
+    * bandings (r10 — minhashLshPairs per banding re-aggregated the
+    * signatures three times), candidates verified against the persisted
+    * shingle frame, exact arm from the lossless AllPairs join.
+    */
+  private def lshSweepOn(s: SparkSession, docsIn: DataFrame,
+      sfx: String): DataFrame = {
     import s.implicits._
-    val docs = withHashedShingles(s, dir).localCheckpoint(true)
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
-      preHashed = true)
-      .agg(count(lit(1)).as("n_exact"))
-    val rows = Seq(8, 16, 32).map { b =>
-      Dedup.minhashLshPairs(docs, "doc_id", "sh",
-        numHashes = 64, bands = b, threshold = 0.5, preHashed = true)
-        .agg(count(lit(1)).as("n_lsh"))
-        .select(lit(b.toLong).as("bands"), $"n_lsh")
-    }
-    rows.reduce(_.unionByName(_))
-      .crossJoin(broadcast(exact))
-      .select($"bands", $"n_lsh", $"n_exact",
-        expr("n_lsh * 1000000L DIV greatest(n_exact, 1)").as("rec_ppm"))
-      .orderBy($"bands")
+    val docs = docsIn.localCheckpoint(true)
+    val hashed = docs.select($"doc_id", $"sh".as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
+        .localCheckpoint(true)
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+        preHashed = true)
+        .agg(count(lit(1)).as(s"n_exact$sfx"))
+      val jac = size(array_intersect($"_sh", $"_sh_b")).cast("double") /
+        size(array_union($"_sh", $"_sh_b"))
+      val rows = Seq(8, 16, 32).map { b =>
+        val banded = Dedup.bandKeysFromSig(signed, "doc_id", 64, b)
+        val other = banded.select($"doc_id".as("doc_id_b"), $"band", $"bk")
+        banded.join(other, Seq("band", "bk"))
+          .filter($"doc_id" < $"doc_id_b")
+          .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b")).distinct()
+          .join(hashed.select($"doc_id".as("doc_a"), $"_sh"), "doc_a")
+          .join(hashed.select($"doc_id".as("doc_b"), $"_sh".as("_sh_b")),
+            "doc_b")
+          .filter(jac >= 0.5)
+          .agg(count(lit(1)).as(s"n_lsh$sfx"))
+          .select(lit(b.toLong).as("bands"), col(s"n_lsh$sfx"))
+      }
+      rows.reduce(_.unionByName(_))
+        .crossJoin(broadcast(exact))
+        .select($"bands", col(s"n_lsh$sfx"), col(s"n_exact$sfx"),
+          expr(s"n_lsh$sfx * 1000000L DIV greatest(n_exact$sfx, 1)")
+            .as("rec_ppm"))
+        .orderBy($"bands")
+        .localCheckpoint(true)
+    } finally hashed.unpersist()
   }
 
   /** SAMPLED band-configuration sweep — the 100 TB form of [[qLshSweep]],
@@ -578,39 +604,8 @@ object DataOpsQueries {
     */
   def qLshSweepSampled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = withHashedShingles(s, dir).filter($"doc_id" % 4 === 0)
-      .localCheckpoint(true)
-    val hashed = docs.select($"doc_id", $"sh".as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
-        .localCheckpoint(true) // ONE signature pass for all three bandings
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
-        preHashed = true)
-        .agg(count(lit(1)).as("n_exact_sample"))
-      val jac = size(array_intersect($"_sh", $"_sh_b")).cast("double") /
-        size(array_union($"_sh", $"_sh_b"))
-      val rows = Seq(8, 16, 32).map { b =>
-        val banded = Dedup.bandKeysFromSig(signed, "doc_id", 64, b)
-        val other = banded.select($"doc_id".as("doc_id_b"), $"band", $"bk")
-        banded.join(other, Seq("band", "bk"))
-          .filter($"doc_id" < $"doc_id_b")
-          .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b")).distinct()
-          .join(hashed.select($"doc_id".as("doc_a"), $"_sh"), "doc_a")
-          .join(hashed.select($"doc_id".as("doc_b"), $"_sh".as("_sh_b")),
-            "doc_b")
-          .filter(jac >= 0.5)
-          .agg(count(lit(1)).as("n_lsh_sample"))
-          .select(lit(b.toLong).as("bands"), $"n_lsh_sample")
-      }
-      rows.reduce(_.unionByName(_))
-        .crossJoin(broadcast(exact))
-        .select($"bands", $"n_lsh_sample", $"n_exact_sample",
-          expr("n_lsh_sample * 1000000L DIV greatest(n_exact_sample, 1)")
-            .as("rec_ppm"))
-        .orderBy($"bands")
-        .localCheckpoint(true)
-    } finally hashed.unpersist()
+    lshSweepOn(s, withHashedShingles(s, dir).filter($"doc_id" % 4 === 0),
+      "_sample")
   }
 
   /** Near-dup cluster-size histogram — the dedup REPORT: how much of the

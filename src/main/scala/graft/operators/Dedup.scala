@@ -197,8 +197,16 @@ object Dedup {
     val base = docs.select(col(idCol), sh.as("_sh"))
       .withColumn("_n", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the rank-annotated postings feed BOTH sides of the candidate join
+    // (query prefix + full index): persist them for the duration of the
+    // (eager) checkpointed computation or the df-join + rank window would
+    // run twice — one full-posting shuffle pair per side (measured: the
+    // recomputation alone put sf2 containment from 18 to 29 s)
+    val ranked = dfOrderedPosts(base, idCol, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val candidates = containmentCandidates(base, idCol, num, den)
+      val candidates = containmentCandidates(base, idCol, num, den,
+        rankedPosts = Some(ranked))
       val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
         col("_n").as("_n_a"))
       val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
@@ -210,7 +218,7 @@ object Dedup {
           col("_n_a").cast("long").as("size_sub"),
           (col("_c").cast("double") / col("_n_a")).as("containment"))
         .localCheckpoint(true)
-    } finally base.unpersist()
+    } finally { ranked.unpersist(); base.unpersist(): Unit }
   }
 
   /** Candidate (query, index) pairs for the containment posting join —
@@ -231,15 +239,17 @@ object Dedup {
     * what makes the filter bite.)
     */
   private[graft] def containmentCandidates(base: DataFrame, idCol: String,
-      num: Int, den: Int, positional: Boolean = true): DataFrame = {
+      num: Int, den: Int, positional: Boolean = true,
+      rankedPosts: Option[DataFrame] = None): DataFrame = {
     // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
     val ceilTn = ((col("_n") * num + (den - 1)) / den).cast("int")
     val prefixLen = col("_n") - ceilTn + 1
     // rarest-first keeps frequent shingles out of the candidate join's
     // query side AND gives both sides the shared global rank the
     // positional filter needs — one window over all postings, reused by
-    // both branches of the self-join
-    val ranked = dfOrderedPosts(base, idCol, Seq.empty)
+    // both branches of the self-join (callers pass a persisted frame via
+    // rankedPosts so the window genuinely runs once)
+    val ranked = rankedPosts.getOrElse(dfOrderedPosts(base, idCol, Seq.empty))
     val queryPosts = ranked.filter(col("_pos") <= prefixLen)
       .select(col(idCol).as("_a"), col("_h"),
         col("_pos").as("_pos_a"), col("_n").as("_n_a"))
