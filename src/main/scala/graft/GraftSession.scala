@@ -39,6 +39,15 @@ object GraftSession {
     // A/B at sf1 showed no regression for this repo's collect sites.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", (4 << 20).toString))
+    // partition discovery goes DISTRIBUTED past 32 paths by default — for
+    // the streaming stores (hundreds of small batch_id=N/bucket=M dirs)
+    // that turns every per-batch probe read into an extra listing JOB
+    // whose task overhead grows with uncompacted-tree count. Driver-side
+    // listing of a few thousand dirs is microseconds on HDFS-like
+    // metadata; raise the threshold so listing jobs only appear at
+    // genuinely massive path counts.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"))
     .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

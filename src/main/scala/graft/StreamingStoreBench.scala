@@ -26,14 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingStoreBench {
 
-  private def timeBatches(nBatches: Int, compactAt: Int,
+  private def timeBatches(nBatches: Int, compactAt: Int, every: Boolean,
       compact: () => Unit)(run: Int => Unit): Array[Double] =
     (0 until nBatches).map { b =>
       val t0 = System.nanoTime()
       run(b)
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[storebench] batch $b%3d  $s%6.2f s")
-      if (compactAt > 0 && b == compactAt) {
+      if (compactAt > 0 && b > 0 &&
+          (if (every) b % compactAt == 0 else b == compactAt)) {
         val c0 = System.nanoTime()
         compact()
         System.err.println(
@@ -64,6 +65,11 @@ object StreamingStoreBench {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(40)
     val compactAt = args.lift(2).map(_.toInt).getOrElse(0)
+    // 4th arg "every": compact every `compactAt` batches (the production
+    // auto-compaction cadence — keeps the uncompacted-tree count, and with
+    // it the per-probe directory-listing cost, BOUNDED) instead of one
+    // single-shot compaction (the r9-comparable protocol)
+    val every = args.lift(3).contains("every")
     val spark = GraftSession.local("streaming-store-bench")
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Files.createTempDirectory("graft_ssb").toString
@@ -76,7 +82,7 @@ object StreamingStoreBench {
     val nVec = emb.count()
     val cents = graft.operators.Similarity.trainIvfCentroids(
       emb, "doc_id", "emb", k = 32, iters = 3)
-    val semWalls = timeBatches(nBatches, compactAt,
+    val semWalls = timeBatches(nBatches, compactAt, every,
       () => graft.streaming.StreamingSemanticDedup.compactStore(
         spark, s"$base/sem_store")) { b =>
       graft.streaming.StreamingSemanticDedup.processBatch(
@@ -92,7 +98,7 @@ object StreamingStoreBench {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .persist()
     val nDoc = docs.count()
-    val mhWalls = timeBatches(nBatches, compactAt,
+    val mhWalls = timeBatches(nBatches, compactAt, every,
       () => graft.streaming.StreamingDedup.compactStore(
         spark, s"$base/mh_store")) { b =>
       graft.streaming.StreamingDedup.processBatch(
@@ -112,7 +118,7 @@ object StreamingStoreBench {
     val (semHead, semTail) = headTail(semWalls, 3)
     val (mhHead, mhTail) = headTail(mhWalls, 3)
     val full =
-      s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,"compact_at":$compactAt,""" +
+      s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,"compact_at":$compactAt,"compact_every":$every,""" +
       s""""semantic":{"rows":$nVec,"batch_rows":${nVec / nBatches},""" +
       f""""first3_mean_s":$semHead%.2f,"last3_mean_s":$semTail%.2f,""" +
       s""""growth_ratio":${f"${semTail / semHead}%.2f"},"pruned":$semPruned,""" +

@@ -66,15 +66,18 @@ object StreamingChunkDedup {
         graft.plans.ChunkHashes.chunkHashes(col("text")))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nChunks = ch.count()
+      // one job answers empty?, the broadcast gate, and the touched
+      // buckets (per-batch fixed job count is the streaming floor)
+      val bucketCounts = ch.groupBy(pmod(col("h"), lit(Buckets)).as("hb"))
+        .count().collect()
+      val nChunks = bucketCounts.map(_.getLong(1)).sum
       if (nChunks == 0) return
       val storeHits =
         if (exists(spark, storeDir)) {
           // ≤ Buckets values — safe to collect, and as a literal isin it
           // prunes the hb-partitioned store at the source (directory-level
           // PartitionFilter), so the probe reads matching buckets only
-          val touched = ch.select(pmod(col("h"), lit(Buckets)).as("hb"))
-            .distinct().collect().map(_.getLong(0))
+          val touched = bucketCounts.map(_.getLong(0))
           // only chunks ORIGINATING strictly earlier (src_batch survives
           // compaction): a replayed batch must not see its own (failed)
           // prior write, nor later batches' chunks

@@ -127,8 +127,12 @@ object StreamingDedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var candsCache: Option[DataFrame] = None
     try {
-      val nDocs = hashed.count()
-      if (nDocs == 0) return
+      // ONE job answers all three pre-probe questions (empty?, broadcast
+      // gate, touched buckets): per-batch fixed job count is the
+      // streaming floor, so every collect here must earn its keep
+      val bucketCounts = keys.groupBy(col("bucket")).count().collect()
+      val nKeys = bucketCounts.map(_.getLong(1)).sum
+      if (nKeys == 0) return
       // candidate pairs: new-vs-store (store doc wins as dup_of) + new-vs-new
       val vsStore =
         if (exists(spark, s"$storeDir/keys")) {
@@ -136,8 +140,7 @@ object StreamingDedup {
           // bounded by StoreBuckets, safe to collect, and as a literal isin
           // it prunes the bucket-partitioned key store at the SOURCE (a
           // directory-level PartitionFilter, not a post-scan filter)
-          val touched = keys.select(col("bucket")).distinct()
-            .collect().map(_.getLong(0))
+          val touched = bucketCounts.map(_.getLong(0))
           // only rows ORIGINATING strictly earlier (src_batch survives
           // compaction): a replayed batch must not probe its own (failed)
           // prior write, and a late replay issued after later batches
@@ -152,7 +155,7 @@ object StreamingDedup {
           // risking the broadcast ceiling (ADVICE r9)
           val batchKeys = keys.select(col("doc_id"), col("band"), col("bk"))
           val probe =
-            if (nDocs * bandCount <= maxBroadcastKeyRows) broadcast(batchKeys)
+            if (nKeys <= maxBroadcastKeyRows) broadcast(batchKeys)
             else batchKeys
           val cands = probe.join(storeKeys, Seq("band", "bk"))
             .filter(col("doc_id") =!= col("dup_of"))
