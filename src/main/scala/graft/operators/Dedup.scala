@@ -111,6 +111,15 @@ object Dedup {
     posts.join(dfTab, "_h")
       .withColumn("_pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_h"))))
+      // df<2 postings can never match across documents (any shared hash
+      // has df >= 2 by definition), so they are dead weight in every
+      // downstream candidate self-join — drop them AFTER the rank window
+      // (ranks stay computed over the full element set, so prefix lengths
+      // and the positional bound are untouched; a qualifying pair's
+      // prefix matches are shared elements, hence never dropped). On a
+      // high-entropy corpus (df ~= 1 almost everywhere) this collapses
+      // the posting-join shuffle to the tiny shared-hash subset.
+      .filter(col("_df") >= 2)
       .select((bandCols.map(col) :+ col(idCol)) :+ col("_n") :+
         col("_h") :+ col("_pos"): _*)
   }
