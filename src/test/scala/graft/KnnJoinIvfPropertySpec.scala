@@ -93,7 +93,11 @@ class KnnJoinIvfPropertySpec extends AnyFunSuite {
     def run(prune: Boolean) = Similarity.knnJoinIvf(
       corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
       queries.toDF("qid", "qv"), "qid", "qv", k = 3, cents, nprobe = 2,
-      boundedPrune = prune, pruneSampleMod = 4, prunePrefixDims = 16)
+      boundedPrune = prune, pruneSampleMod = 4, prunePrefixDims = 16,
+      // force the size gate open: this tiny corpus is far below the
+      // default threshold, and the A/B is vacuous if prune=true silently
+      // takes the unpruned route
+      pruneMinBytes = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val unpruned = run(prune = false)
     val pruned = run(prune = true)
