@@ -555,6 +555,15 @@ object Dedup {
     * label/length bucket is O(bucket²)), bucket population is driven by
     * the data distribution itself, and the shuffle keys are (band, key)
     * ints.
+    *
+    * SIZING RULE (measured at 40× data, SCALE_CURVE_r10): coincidental
+    * collisions between NON-near-dup vectors contribute
+    * ≈ n²·bands/2^rows candidate pairs — quadratic in corpus size for
+    * any FIXED banding. Callers must size `rows` with the corpus:
+    * 2^rows ≳ n / (target mean bucket occupancy), i.e.
+    * rows ≈ log2(n) − log2(occ), raising `bands` to hold recall on the
+    * S-curve (collision prob per band = (1 − θ/π)^rows). With that rule
+    * the coincidental term stays ≈ n·occ·bands — linear in corpus.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       bands: Int, rows: Int, threshold: Double): DataFrame = {
