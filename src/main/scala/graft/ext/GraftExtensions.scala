@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => ShingleHashes(e.head, 1, distinct = false)
     }
     inject("sign_proj_keys", "sign_proj_keys(array<float>) - hyperplane-LSH band keys (8x8)") {
-      e => SignProjKeys(e.head, graft.operators.Dedup.hyperplanes, 8)
+      e => SignProjKeys(e.head, graft.operators.Dedup.hyperplanes.take(64), 8)
     }
     inject("vec_cosine", "vec_cosine(array<float>, array<float>) - one-pass cosine similarity") {
       e => VecCosine(e.head, e(1))

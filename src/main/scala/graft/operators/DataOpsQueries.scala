@@ -14,6 +14,24 @@ import graft.sources.Sources
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic 25 % id sample gate for the sampled eval protocols —
+    * a Knuth multiplicative mix, NOT a residue (`id % 4`): the ScaleUp
+    * replica generator shifts ids by a stride that is a multiple of 4,
+    * so a residue gate kept WHOLE replica families and the sample²
+    * saving degraded to sample¹ on replica corpora (measured,
+    * SURVEY §5l-14). The mix decorrelates the gate from any additive
+    * stride: (id mod 2³¹)·2654435761 mod 2³² < 2³⁰. The pre-mod keeps
+    * the product < 2⁶³ for any 64-bit id (ANSI-safe, no overflow) while
+    * preserving stride structure far beyond any realistic corpus; the
+    * DuckDB twin ([[idSampleSql]]) is the same BIGINT arithmetic, so
+    * both engines keep identical ids.
+    */
+  private[graft] def idSample(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L) < lit(1073741824L)
+
+  private[graft] def idSampleSql(col: String): String =
+    s"($col % 2147483648) * 2654435761 % 4294967296 < 1073741824"
+
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.exactGroups(Sources.documents(s, dir), $"doc_id", $"text")
@@ -126,7 +144,8 @@ object DataOpsQueries {
     * production SimHash banding runs over the FULL corpus (linear-ish),
     * while the exact Jaccard ground truth and the precision/recall
     * accounting are restricted to the deterministic 25 % id-hash sample
-    * (`doc_id % 4 = 0`) — exact pair work drops by sample² and the
+    * ([[idSample]], a replica-proof multiplicative mix) — exact pair work
+    * drops by sample² and the
     * sampled P/R is an unbiased estimate of corpus P/R.
     */
   def qSimhashEvalSampled(s: SparkSession, dir: String): DataFrame = {
@@ -146,12 +165,12 @@ object DataOpsQueries {
     val sh = banded.join(other, Seq("ck", "cv"))
       .filter($"doc_id" < $"doc_id_b")
       .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
-      .filter($"doc_id" % 4 === 0 && $"doc_id_b" % 4 === 0)
+      .filter(idSample($"doc_id") && idSample($"doc_id_b"))
       .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
       .distinct()
       .localCheckpoint(true)
     val exact = Dedup.jaccardPairs(
-      withHashedShingles(s, dir).filter($"doc_id" % 4 === 0),
+      withHashedShingles(s, dir).filter(idSample($"doc_id")),
       "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
       .select($"doc_a", $"doc_b")
       .localCheckpoint(true)
@@ -167,7 +186,26 @@ object DataOpsQueries {
           .as("rec_ppm_est"))
   }
 
+  /** Within-label embedding near-dup pairs, LSH-candidated (round-10
+    * verdict item 2): candidates must share `label` AND an adaptive LSH
+    * band bucket, then pass the exact-cosine verify. The former
+    * exact-within-label form (O(Σ bucket²) on a low-cardinality label —
+    * 76.7× wall at 40× data) lives on as [[qDedupEmbeddingExact]],
+    * small-sf tier. At both correctness scales autoBanding floors to the
+    * pinned (8, 8), so the static SQL oracle encodes the exact shape.
+    */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingLshPairsAuto(Sources.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.40, extraKeys = Seq("label"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The didactic exact twin of [[qDedupEmbedding]] — all same-label
+    * pairs verified, no LSH recall gap, quadratic in the largest label
+    * bucket. Ground-truth arm: keep it off large-sf runs (Bench tiers).
+    */
+  def qDedupEmbeddingExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.embeddingPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
       "label", 0.40)
@@ -175,6 +213,19 @@ object DataOpsQueries {
   }
 
   def qDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingLshPairsAuto(Sources.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.40)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Explicitly pinned (bands=8, rows=8) shape — the banding can never
+    * drift with corpus size, so the hash-gated oracle is pinned by
+    * construction (the adaptive [[qDedupEmbeddingLsh]] matches it at
+    * oracle scale because autoBanding floors there; EmbeddingLshAutoSpec
+    * pins that equivalence).
+    */
+  def qDedupEmbeddingLshPinned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.embeddingLshPairs(Sources.embeddings(s, dir), "vec_id", "embedding",
       bands = 8, rows = 8, threshold = 0.40)
@@ -360,7 +411,9 @@ object DataOpsQueries {
     * protocol. Here the production LSH pipeline still runs over the FULL
     * corpus (that part is linear-ish in documents), while the exact
     * ground truth is computed only inside a deterministic 25 % id-hash
-    * sample (`doc_id % 4 = 0`) — pair work drops by sample² (16×) and the
+    * sample ([[idSample]], a replica-proof multiplicative mix — a residue
+    * gate kept whole replica families, SURVEY §5l-14) — pair work drops
+    * by sample² (16×) and the
     * measured recall over sampled pairs is an unbiased estimate of
     * corpus recall. Output: sampled-pair counts + estimated recall.
     */
@@ -370,8 +423,8 @@ object DataOpsQueries {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
       numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
       .select($"doc_a", $"doc_b")
-      .filter($"doc_a" % 4 === 0 && $"doc_b" % 4 === 0)
-    val sampled = docs.filter($"doc_id" % 4 === 0)
+      .filter(idSample($"doc_a") && idSample($"doc_b"))
+    val sampled = docs.filter(idSample($"doc_id"))
     val exact = Dedup.jaccardPairs(sampled, "doc_id", "sh", Seq.empty, 0.5,
       preHashed = true)
       .select($"doc_a", $"doc_b")
@@ -592,7 +645,7 @@ object DataOpsQueries {
   /** SAMPLED band-configuration sweep — the 100 TB form of [[qLshSweep]],
     * the same protocol that rescued the minhash/simhash evals
     * (q_minhash_eval_sampled): both arms run inside the deterministic
-    * 25 % id-hash sample (`doc_id % 4 = 0`), so the quadratic exact
+    * 25 % id-hash sample ([[idSample]]), so the quadratic exact
     * ground truth AND the per-banding candidate/verify work drop by
     * sample² (16×) while the recall ratio stays an unbiased estimate —
     * banding is PAIRWISE-LOCAL (a pair's band collision depends only on
@@ -604,7 +657,7 @@ object DataOpsQueries {
     */
   def qLshSweepSampled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lshSweepOn(s, withHashedShingles(s, dir).filter($"doc_id" % 4 === 0),
+    lshSweepOn(s, withHashedShingles(s, dir).filter(idSample($"doc_id")),
       "_sample")
   }
 
@@ -688,7 +741,9 @@ object DataOpsQueries {
     "q_lsh_sweep_sampled" -> qLshSweepSampled,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_embedding_exact" -> qDedupEmbeddingExact,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "q_dedup_embedding_lsh_pinned" -> qDedupEmbeddingLshPinned,
     "q_ann_bruteforce" -> qAnnBruteforce,
     "q_ann_ivf" -> qAnnIvf,
     "q_knn_join" -> qKnnJoin,
@@ -827,6 +882,37 @@ object DataOpsQueries {
       s"(CASE WHEN $d > 0 THEN ${1 << r} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared DuckDB twin for the embedding-LSH pair queries at the PINNED
+    * (bands=8, rows=8) shape — valid for the adaptive Scala entries too
+    * because [[Dedup.autoBanding]] floors to exactly (8, 8) at both
+    * correctness scales (n=500 / n=2000 ≤ occ·2⁸ = 4096;
+    * EmbeddingLshAutoSpec pins it). `withLabel` adds the same-label
+    * requirement of q_dedup_embedding (label ∧ LSH bucket candidates).
+    */
+  private def embeddingLshSql(withLabel: Boolean): String = {
+    val lbl = if (withLabel) ", label" else ""
+    val lblJoin = if (withLabel) " AND a.label = b.label" else ""
+    s"""WITH sig AS (
+       |  SELECT vec_id$lbl, embedding,
+       |    ${(0 until 8).map(b => s"${hpBandKeySql("embedding", b, 8)} AS bk$b")
+              .mkString(",\n    ")}
+       |  FROM embeddings),
+       |br AS (
+       |  ${(0 until 8).map(b =>
+              s"SELECT vec_id$lbl, $b AS band, bk$b AS bk FROM sig")
+              .mkString("\n  UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM br a JOIN br b ON a.band = b.band AND a.bk = b.bk$lblJoin
+       |    AND a.vec_id < b.vec_id)
+       |SELECT c.va AS vec_a, c.vb AS vec_b,
+       |  ${cos("x.embedding", "y.embedding")} AS cos
+       |FROM cand c JOIN embeddings x ON c.va = x.vec_id
+       |  JOIN embeddings y ON c.vb = y.vec_id
+       |WHERE ${cos("x.embedding", "y.embedding")} >= 0.40
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Winnowing CTE chain (k=8, w=4, portable hash), ending in
     * `wfps(doc_id, fp)` — distinct selected fingerprints per doc.
     */
@@ -903,11 +989,11 @@ object DataOpsQueries {
          |exact AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
-         |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+         |  WHERE ${idSampleSql("a.doc_id")} AND ${idSampleSql("b.doc_id")}
          |    AND 3 * len(list_intersect(a.hs, b.hs)) >= len(a.hs) + len(b.hs)),
          |lshs AS (
          |  SELECT doc_a, doc_b FROM mh_pairs
-         |  WHERE doc_a % 4 = 0 AND doc_b % 4 = 0),
+         |  WHERE ${idSampleSql("doc_a")} AND ${idSampleSql("doc_b")}),
          |c AS (
          |  SELECT (SELECT COUNT(*) FROM exact) AS n_exact_sample,
          |    (SELECT COUNT(*) FROM lshs) AS n_lsh_sample,
@@ -1008,7 +1094,7 @@ object DataOpsQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "q_lsh_sweep" -> lshSweepOracle,
-    "q_lsh_sweep_sampled" -> lshSweepOracleFor("doc_id % 4 = 0", "_sample"),
+    "q_lsh_sweep_sampled" -> lshSweepOracleFor(idSampleSql("doc_id"), "_sample"),
     "q_simhash_eval" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_transform($W, w -> ${md("w")}) AS tok,
@@ -1053,9 +1139,9 @@ object DataOpsQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sim, b.sim)) <= 5
-         |    AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+         |    AND ${idSampleSql("a.doc_id")} AND ${idSampleSql("b.doc_id")}),
          |ne AS (SELECT doc_id, hs FROM sg
-         |  WHERE len(hs) > 0 AND doc_id % 4 = 0),
+         |  WHERE len(hs) > 0 AND ${idSampleSql("doc_id")}),
          |exact AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
@@ -1124,27 +1210,10 @@ object DataOpsQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_embedding_lsh" ->
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |    ${(0 until 8).map(b => s"${hpBandKeySql("embedding", b, 8)} AS bk$b")
-                .mkString(",\n    ")}
-         |  FROM embeddings),
-         |br AS (
-         |  ${(0 until 8).map(b =>
-                s"SELECT vec_id, $b AS band, bk$b AS bk FROM sig")
-                .mkString("\n  UNION ALL ")}),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |  FROM br a JOIN br b ON a.band = b.band AND a.bk = b.bk
-         |    AND a.vec_id < b.vec_id)
-         |SELECT c.va AS vec_a, c.vb AS vec_b,
-         |  ${cos("x.embedding", "y.embedding")} AS cos
-         |FROM cand c JOIN embeddings x ON c.va = x.vec_id
-         |  JOIN embeddings y ON c.vb = y.vec_id
-         |WHERE ${cos("x.embedding", "y.embedding")} >= 0.40
-         |ORDER BY vec_a, vec_b""".stripMargin,
-    "q_dedup_embedding" ->
+    "q_dedup_embedding_lsh" -> embeddingLshSql(withLabel = false),
+    "q_dedup_embedding_lsh_pinned" -> embeddingLshSql(withLabel = false),
+    "q_dedup_embedding" -> embeddingLshSql(withLabel = true),
+    "q_dedup_embedding_exact" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${cos("a.embedding", "b.embedding")} AS cos

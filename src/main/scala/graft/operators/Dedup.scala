@@ -544,7 +544,57 @@ object Dedup {
     */
   lazy val hyperplanes: Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    Array.fill(64)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    // 1024 planes = headroom for [[autoBanding]]'s deepest shape
+    // (rows=20 × bands=36 = 720). `Array.fill` draws row-by-row, so the
+    // first 64 rows are bit-identical to the historical 64-plane bank —
+    // every committed oracle SQL literal and pinned-(8,8) bucket key is
+    // unchanged (the correctness gate would catch any drift).
+    Array.fill(1024)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Pinned (rows → bands) table for [[autoBanding]]: for each signature
+    * width `rows`, the band count that holds the S-curve recall of the
+    * historical (bands=8, rows=8) shape at design cosine c* = 0.95
+    * (p* = 1 − arccos(0.95)/π ≈ 0.89892; baseline recall
+    * R₈ = 1 − (1 − p*⁸)⁸ ≈ 0.9883; bands(r) = ⌈ln(1−R₈)/ln(1−p*ʳ)⌉,
+    * with bands(8) = 8 exactly by construction). Literals are PINNED —
+    * recomputing them per-JVM from doubles could drift a ceil across
+    * platforms and silently change every bucket key.
+    *
+    * Recall contract: at every cosine ≥ ~0.85 (the S-curve crossing),
+    * each adaptive shape's recall ≥ the (8, 8) baseline's — pointwise,
+    * not just at c*. Below the crossing a steeper curve (more rows)
+    * necessarily trades recall for precision; that is the point of
+    * sizing rows with the corpus, and recall down there was never the
+    * near-dup contract (the (8, 8) shape itself recalls <20% at
+    * cos 0.4). EmbeddingLshAutoSpec pins the ≥ empirically on a
+    * planted corpus in the contract regime.
+    */
+  val bandsForRows: Map[Int, Int] = Map(
+    8 -> 8, 9 -> 10, 10 -> 11, 11 -> 12, 12 -> 14, 13 -> 16, 14 -> 18,
+    15 -> 20, 16 -> 23, 17 -> 25, 18 -> 28, 19 -> 32, 20 -> 36)
+
+  /** Corpus-adaptive LSH shape (SURVEY §7f-0 / round-10 verdict item 1):
+    * coincidental collisions between non-near-dup vectors contribute
+    * ≈ n²·bands/2ʳᵒʷˢ candidate pairs — quadratic in corpus size for any
+    * FIXED banding (measured exponent 2.07 at 40× data,
+    * SCALE_CURVE_r10). Sizing rows with the corpus so mean bucket
+    * occupancy stays ≤ `targetOcc` (2ʳᵒʷˢ ≥ n/occ, i.e.
+    * rows = ⌈log₂(n/occ)⌉) makes that term ≈ n·occ·bands — linear —
+    * while [[bandsForRows]] raises bands to hold recall. Floors at the
+    * historical (8, 8) for n ≤ occ·2⁸ = 4096, which covers both
+    * correctness scales (sf0.01 n=500, sf0.1 n=2000) — the oracle-gated
+    * queries therefore run the EXACT pinned shape their static SQL
+    * twins encode (spec-pinned in EmbeddingLshAutoSpec). Integer-exact
+    * arithmetic (bit-length, no floating log) so any engine reproducing
+    * the rule lands on the same shape.
+    */
+  def autoBanding(n: Long, targetOcc: Int = 16): (Int, Int) = {
+    val m = math.max(1L, (n + targetOcc - 1) / targetOcc) // ceil(n/occ)
+    val ceilLog2 =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    val rows = math.max(8, math.min(20, ceilLog2))
+    (bandsForRows(rows), rows)
   }
 
   /** Embedding near-dup pairs via random-hyperplane LSH (Charikar): the
@@ -559,29 +609,32 @@ object Dedup {
     * SIZING RULE (measured at 40× data, SCALE_CURVE_r10): coincidental
     * collisions between NON-near-dup vectors contribute
     * ≈ n²·bands/2^rows candidate pairs — quadratic in corpus size for
-    * any FIXED banding. Callers must size `rows` with the corpus:
-    * 2^rows ≳ n / (target mean bucket occupancy), i.e.
-    * rows ≈ log2(n) − log2(occ), raising `bands` to hold recall on the
-    * S-curve (collision prob per band = (1 − θ/π)^rows). With that rule
-    * the coincidental term stays ≈ n·occ·bands — linear in corpus.
+    * any FIXED banding. [[embeddingLshPairsAuto]] implements the sizing
+    * rule (2^rows ≳ n/occ with [[bandsForRows]] holding recall on the
+    * S-curve) and is the default entry point; this fixed-shape form
+    * stays for pinned/oracle use and as the auto variant's target.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bands: Int, rows: Int, threshold: Double): DataFrame = {
+      bands: Int, rows: Int, threshold: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(bands * rows <= hyperplanes.length, "not enough hyperplanes")
     graft.plans.SignProjKeys.register(emb.sparkSession,
       hyperplanes.take(bands * rows), rows)
-    val base = emb.select(col(idCol), col(vecCol))
-      .withColumn("_n", vecNormD(col(vecCol)))
+    val base = emb.select((idCol +: vecCol +: extraKeys).map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // all band keys in one native pass (graft.plans.SignProjKeys) —
       // bands×rows interpreted dot-folds would dominate the query
       val banded = base
-        .select(col(idCol), posexplode(
-          graft.plans.SignProjKeys.signProjKeys(col(vecCol))))
-        .toDF(idCol, "band", "bk")
-      val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
-      val pairs = banded.join(other, Seq("band", "bk"))
+        .select(col(idCol) +: extraKeys.map(col) :+ posexplode(
+          graft.plans.SignProjKeys.signProjKeys(col(vecCol))): _*)
+        .toDF((idCol +: extraKeys) ++ Seq("band", "bk"): _*)
+      val other = banded.withColumnRenamed(idCol, s"${idCol}_b")
+      // extraKeys join with (band, bk): candidates must share the LSH
+      // bucket AND every extra key — a low-cardinality extra key (label)
+      // alone would be O(bucket²); composed with the adaptive bucket it
+      // only ever SHRINKS the LSH candidate set
+      val pairs = banded.join(other, Seq("band", "bk") ++ extraKeys)
         .filter(col(idCol) < col(s"${idCol}_b"))
         .select(col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"))
         .distinct()
@@ -596,6 +649,31 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .localCheckpoint(true)
     } finally base.unpersist()
+  }
+
+  /** [[embeddingLshPairs]] with the (bands, rows) shape auto-sized from
+    * the corpus via [[autoBanding]] — the default entry point (the fixed
+    * shape stays available for pinned/oracle use). `n` comes from
+    * Catalyst's logical-plan row-count stat when the plan carries one;
+    * otherwise one `count()` job — on a parquet scan that is a
+    * footer-metadata aggregate (no column data read), seconds against a
+    * pair-generation query that scales in n·occ·bands, and exact where a
+    * sizeInBytes-derived estimate could flip a ladder step between
+    * engines. The chosen shape is logged to stderr so a run is
+    * self-describing about which banding it used.
+    */
+  def embeddingLshPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, extraKeys: Seq[String] = Nil,
+      targetOcc: Int = 16): DataFrame = {
+    val n = emb.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.toLong
+      case None => emb.count()
+    }
+    val (bands, rows) = autoBanding(n, targetOcc)
+    System.err.println(
+      s"[graft] embeddingLshPairsAuto: n=$n -> bands=$bands rows=$rows " +
+      s"(occ<=$targetOcc, coincidental~n*occ*bands)")
+    embeddingLshPairs(emb, idCol, vecCol, bands, rows, threshold, extraKeys)
   }
 
   /** Embedding-cosine near-dup pairs, banded by a cluster/label column.

@@ -312,6 +312,16 @@ object Similarity {
     * construction (recall depends on nprobe/K), which is why [[knnJoin]]
     * only routes here when the caller explicitly provides the index.
     * Output schema matches [[knnJoin]]: (query_id, idCol, cos).
+    *
+    * `boundedPrune=true` requests the LOSSLESS τ + Cauchy–Schwarz
+    * prefix-bound prune, but it only actually engages when Catalyst's
+    * logical-plan size estimate for `emb` is ≥ `pruneMinBytes` (8 MiB
+    * default) — below that the prune's fixed overhead (a sampled τ pass
+    * + a prefix dot per candidate) costs more than it saves. Both routes
+    * are bit-identical, so the gate is purely a cost decision; when it
+    * overrides an explicit `boundedPrune=true` it says so on stderr.
+    * Note sizeInBytes on post-join/filter plans is an estimate and can
+    * be far off — pass `pruneMinBytes = 0` to force the pruned route.
     */
   def knnJoinIvf(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
@@ -332,6 +342,15 @@ object Similarity {
     // own autoBroadcast threshold.
     val effectivePrune = boundedPrune &&
       emb.queryExecution.optimizedPlan.stats.sizeInBytes >= pruneMinBytes
+    if (boundedPrune && !effectivePrune)
+      // mirror the IVF-route log: the gate silently overriding an explicit
+      // boundedPrune=true left callers unable to tell which route ran —
+      // and Catalyst sizeInBytes on post-join/filter plans can be a wild
+      // over/under-estimate, so the run should say what the gate decided
+      System.err.println(
+        s"[graft] knnJoinIvf: boundedPrune=true overridden by size gate " +
+        s"(stats.sizeInBytes=${emb.queryExecution.optimizedPlan.stats.sizeInBytes}" +
+        s" < pruneMinBytes=$pruneMinBytes) — running unpruned route")
     val spark = emb.sparkSession
     graft.plans.VecCosine.register(spark)
     graft.plans.VecDot.register(spark)

@@ -15,33 +15,70 @@ exact arms and ~linear for the banded/blocked production paths, so the
 exponent is the number that separates "absorbing 16x pair mass
 sublinearly" from "wall tracks pair mass 1:1".
 
-Usage: python3 tools/scale_curve.py [dir-with-jsons]
-Expects BENCH_FULL_sf{1,2,4}{,f}_partial.json (falls back to /tmp).
+Inputs: every file matching BENCH_FULL_{sf1,sf2,sf4}{,f}_partial*.json
+in the given dir (then /tmp, then .). MULTIPLE files per point (e.g.
+`..._partial.json`, `..._partial.run2.json`) are MIN-MERGED per query —
+re-runs of individually polluted rows land in their own artifact and
+the curve takes the best identical-protocol time, with every input
+committed so the published table regenerates from the repo alone.
+Values <= 0 (error markers) are ignored in the merge.
+
+Usage: python3 tools/scale_curve.py [dir-with-jsons] [--json OUT]
+  --json OUT   additionally write the SCALE_CURVE artifact (the
+               committed SCALE_CURVE_r{N}.json format) to OUT.
 """
+import glob
 import json
 import math
 import os
 import sys
 
 
-def load(d, name):
+def load_merged(d, sf, suffix):
+    """Min-merge every artifact for one (sf, mode) point."""
+    merged = {}
+    seen = False
     for base in (d, "/tmp", "."):
-        p = os.path.join(base, name)
-        if os.path.exists(p):
+        paths = sorted(glob.glob(
+            os.path.join(base, f"BENCH_FULL_{sf}{suffix}_partial*.json")))
+        if not paths:
+            continue
+        seen = True
+        for p in paths:
             with open(p) as f:
-                return json.load(f)
-    return None
+                qs = json.load(f)["queries"]
+            for q, t in qs.items():
+                if t is None or t <= 0:
+                    continue  # error marker, never a time
+                if q not in merged or t < merged[q]:
+                    merged[q] = t
+        break  # first dir that has any artifact wins (no cross-dir mixing)
+    return merged if seen else None
 
 
 def main():
-    d = sys.argv[1] if len(sys.argv) > 1 else "."
+    args = [a for a in sys.argv[1:]]
+    out_json = None
+    if "--json" in args:
+        i = args.index("--json")
+        out_json = args[i + 1]
+        del args[i:i + 2]
+    d = args[0] if args else "."
     points = [("sf1", 10), ("sf2", 20), ("sf4", 40)]
+    artifact = {
+        "metric": "pair_family_scale_curve",
+        "base": "sf0.1 (factor 1)",
+        "protocol": ("SPARK_GRAFT_CPUS=32, repeat=2 min, min-merged across "
+                     "committed BENCH_FULL_{sf}{mode}_partial*.json re-runs"),
+        "factors": {sf: f for sf, f in points},
+        "modes": {},
+    }
     for mode, suffix in (("replica", ""), ("fresh", "f")):
         runs = {}
         for sf, factor in points:
-            j = load(d, f"BENCH_FULL_{sf}{suffix}_partial.json")
+            j = load_merged(d, sf, suffix)
             if j:
-                runs[factor] = j["queries"]
+                runs[factor] = j
         if len(runs) < 2:
             print(f"[{mode}] missing artifacts, skipping")
             continue
@@ -52,6 +89,7 @@ def main():
         print(f"| query | {hdr} | exponent |")
         print("|---|" + "---|" * (len(factors) + 1))
         rows = []
+        mode_out = {}
         for q in qs:
             ts = [runs[f][q] for f in factors]
             if any(t is None or t <= 0 for t in ts):
@@ -60,10 +98,25 @@ def main():
                 exp = (math.log(ts[-1] / ts[0]) /
                        math.log(factors[-1] / factors[0]))
             rows.append((exp, q, ts))
-        rows.sort(reverse=True)
+            mode_out[q] = dict(
+                {f"s{f}": round(t, 3) for f, t in zip(factors, ts)},
+                exponent=(round(exp, 2) if not math.isnan(exp) else None))
+        # explicit key: NaN exponents sort LAST deterministically (plain
+        # tuple sort left them in arbitrary positions — NaN comparisons
+        # are always False — and ties fell through to comparing ts lists)
+        rows.sort(key=lambda r: (not math.isnan(r[0]),
+                                 r[0] if not math.isnan(r[0]) else 0.0,
+                                 r[1]),
+                  reverse=True)
         for exp, q, ts in rows:
             cells = " | ".join(f"{t:.1f}" for t in ts)
             print(f"| {q} | {cells} | {exp:.2f} |")
+        artifact["modes"][mode] = mode_out
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
+        print(f"\nwrote {out_json}")
 
 
 if __name__ == "__main__":
