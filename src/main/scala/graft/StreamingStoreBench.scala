@@ -27,12 +27,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamingStoreBench {
 
   private def timeBatches(nBatches: Int, compactAt: Int, every: Boolean,
-      compact: () => Unit)(run: Int => Unit): Array[Double] =
-    (0 until nBatches).map { b =>
+      compact: () => Unit, listProbe: () => (Double, Int))(
+      run: Int => Unit): (Array[Double], Array[Double], Int) = {
+    var files = 0
+    val rows = (0 until nBatches).map { b =>
       val t0 = System.nanoTime()
       run(b)
       val s = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[storebench] batch $b%3d  $s%6.2f s")
+      // driver-side LISTING cost of the store tree, measured separately
+      // each batch: at thousands of partition dirs this is the component
+      // that could become the per-batch floor (the probe read re-lists on
+      // every plain parquet read — there is no file-status cache for
+      // non-catalog paths)
+      val (ls, nf) = listProbe()
+      files = nf
+      System.err.println(
+        f"[storebench] batch $b%3d  $s%6.2f s  (listing $ls%5.3f s, $nf%5d files)")
       if (compactAt > 0 && b > 0 &&
           (if (every) b % compactAt == 0 else b == compactAt)) {
         val c0 = System.nanoTime()
@@ -40,8 +50,24 @@ object StreamingStoreBench {
         System.err.println(
           f"[storebench] compacted after batch $b (${(System.nanoTime() - c0) / 1e9}%.2f s)")
       }
-      s
-    }.toArray
+      (s, ls)
+    }
+    (rows.map(_._1).toArray, rows.map(_._2).toArray, files)
+  }
+
+  /** Time a FRESH listing of the store tree (new InMemoryFileIndex each
+    * read) + the file count it found — the pure metadata component of a
+    * batch's store probe.
+    */
+  private def listingProbe(spark: SparkSession, paths: Seq[String]): (Double, Int) = {
+    val existing = paths.filter(p => new java.io.File(p).isDirectory)
+    if (existing.isEmpty) (0.0, 0)
+    else {
+      val t0 = System.nanoTime()
+      val n = existing.map(p => spark.read.parquet(p).inputFiles.length).sum
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+  }
 
   /** Mean of the first/last `k` entries — the flatness comparison. */
   private def headTail(xs: Array[Double], k: Int): (Double, Double) =
@@ -82,9 +108,10 @@ object StreamingStoreBench {
     val nVec = emb.count()
     val cents = graft.operators.Similarity.trainIvfCentroids(
       emb, "doc_id", "emb", k = 32, iters = 3)
-    val semWalls = timeBatches(nBatches, compactAt, every,
+    val (semWalls, semList, semFiles) = timeBatches(nBatches, compactAt, every,
       () => graft.streaming.StreamingSemanticDedup.compactStore(
-        spark, s"$base/sem_store")) { b =>
+        spark, s"$base/sem_store"),
+      () => listingProbe(spark, Seq(s"$base/sem_store"))) { b =>
       graft.streaming.StreamingSemanticDedup.processBatch(
         emb.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
         cents, s"$base/sem_store", s"$base/sem_flags",
@@ -98,9 +125,11 @@ object StreamingStoreBench {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .persist()
     val nDoc = docs.count()
-    val mhWalls = timeBatches(nBatches, compactAt, every,
+    val (mhWalls, mhList, mhFiles) = timeBatches(nBatches, compactAt, every,
       () => graft.streaming.StreamingDedup.compactStore(
-        spark, s"$base/mh_store")) { b =>
+        spark, s"$base/mh_store"),
+      () => listingProbe(spark,
+        Seq(s"$base/mh_store/keys", s"$base/mh_store/docs"))) { b =>
       graft.streaming.StreamingDedup.processBatch(
         docs.filter(pmod(col("doc_id"), lit(nBatches)) === b), b.toLong,
         s"$base/mh_store", s"$base/mh_flags",
@@ -117,21 +146,27 @@ object StreamingStoreBench {
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val (semHead, semTail) = headTail(semWalls, 3)
     val (mhHead, mhTail) = headTail(mhWalls, 3)
+    val (semListHead, semListTail) = headTail(semList, 3)
+    val (mhListHead, mhListTail) = headTail(mhList, 3)
     val full =
       s"""{"metric":"streaming_store_growth","sf":"$dir","batches":$nBatches,"compact_at":$compactAt,"compact_every":$every,""" +
       s""""semantic":{"rows":$nVec,"batch_rows":${nVec / nBatches},""" +
       f""""first3_mean_s":$semHead%.2f,"last3_mean_s":$semTail%.2f,""" +
       s""""growth_ratio":${f"${semTail / semHead}%.2f"},"pruned":$semPruned,""" +
-      s""""per_batch_s":${fmtArr(semWalls)}},""" +
+      f""""listing_first3_s":$semListHead%.3f,"listing_last3_s":$semListTail%.3f,""" +
+      s""""files_final":$semFiles,""" +
+      s""""per_batch_s":${fmtArr(semWalls)},"listing_s":${fmtArr(semList)}},""" +
       s""""minhash":{"rows":$nDoc,"batch_rows":${nDoc / nBatches},""" +
       f""""first3_mean_s":$mhHead%.2f,"last3_mean_s":$mhTail%.2f,""" +
       s""""growth_ratio":${f"${mhTail / mhHead}%.2f"},"pruned":$mhPruned,""" +
-      s""""per_batch_s":${fmtArr(mhWalls)}}}"""
+      f""""listing_first3_s":$mhListHead%.3f,"listing_last3_s":$mhListTail%.3f,""" +
+      s""""files_final":$mhFiles,""" +
+      s""""per_batch_s":${fmtArr(mhWalls)},"listing_s":${fmtArr(mhList)}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("STREAMSTORE_BENCH.json"),
       (full + "\n").getBytes("UTF-8"))
     // stdout stays one compact line (per-batch curves live in the file)
-    println(full.replaceAll(""""per_batch_s":\[[^\]]*\],?""", "")
+    println(full.replaceAll(""""(per_batch_s|listing_s)":\[[^\]]*\],?""", "")
       .replaceAll(",}", "}"))
     spark.stop()
   }
