@@ -610,7 +610,7 @@ object DataOpsQueries {
     import s.implicits._
     val docs = docsIn.localCheckpoint(true)
     val hashed = docs.select($"doc_id", $"sh".as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     try {
       val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
         .localCheckpoint(true)

@@ -17,6 +17,20 @@ import graft.sources.Sources
   */
 object Dedup {
 
+  /** Storage level for the pair family's corpus-sized intermediate
+    * persists (hashed-shingle / signature / banded-vector frames).
+    * Default MEMORY_AND_DISK (deserialized — fastest when the heap has
+    * room). `SPARK_GRAFT_PAIR_STORAGE=ser` flips every site to
+    * MEMORY_AND_DISK_SER: array-heavy rows compress 2-4× serialized, so
+    * on a tight heap (the 24 g driver-memory sensitivity, SURVEY §7f-2)
+    * the cache stops evicting/GC-thrashing at the price of per-access
+    * deserialization. MemAudit measures the trade at both heap sizes.
+    */
+  private[graft] lazy val pairStorage: org.apache.spark.storage.StorageLevel =
+    if (sys.env.get("SPARK_GRAFT_PAIR_STORAGE").contains("ser"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Word n-gram shingles (distinct) of a text column.
     *
     * Built as a zip_with chain over shifted slices, NOT per-index
@@ -70,7 +84,7 @@ object Dedup {
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
     val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
       .withColumn("_n", size(col("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
       .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
     finally base.unpersist()
@@ -205,14 +219,14 @@ object Dedup {
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
     val base = docs.select(col(idCol), sh.as("_sh"))
       .withColumn("_n", size(col("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     // the rank-annotated postings feed BOTH sides of the candidate join
     // (query prefix + full index): persist them for the duration of the
     // (eager) checkpointed computation or the df-join + rank window would
     // run twice — one full-posting shuffle pair per side (measured: the
     // recomputation alone put sf2 containment from 18 to 29 s)
     val ranked = dfOrderedPosts(base, idCol, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     try {
       val candidates = containmentCandidates(base, idCol, num, den,
         rankedPosts = Some(ranked))
@@ -354,7 +368,7 @@ object Dedup {
     val hashed = (if (preHashed) docs.select(col(idCol), col(shingleCol).as("_sh"))
       else docs.select(col(idCol),
         array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     try {
       val banded = minhashBandKeys(hashed, idCol, numHashes, bands)
       val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
@@ -621,7 +635,7 @@ object Dedup {
     graft.plans.SignProjKeys.register(emb.sparkSession,
       hyperplanes.take(bands * rows), rows)
     val base = emb.select((idCol +: vecCol +: extraKeys).map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(Dedup.pairStorage)
     try {
       // all band keys in one native pass (graft.plans.SignProjKeys) —
       // bands×rows interpreted dot-folds would dominate the query
