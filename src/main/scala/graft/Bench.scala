@@ -77,7 +77,16 @@ object Bench {
       "q_minhash_eval", "q_simhash_eval", "q_lsh_sweep",
       "q_dedup_embedding_exact", "q_dedup_embedding_lsh_pinned")
     val tierAll = sys.env.get("SPARK_GRAFT_TIER").contains("all")
-    val largeSf = canon(sfDir) != defaultSf
+    // large-sf = a ScaleUp corpus (basename sf<N>[f], N >= 1) — NOT
+    // merely "anything that isn't sf0.1": sf0.01/sf0.001 are the other
+    // correctness scales and must keep the small-sf-only queries (a
+    // "!= default" test skipped them there, the opposite of the tier's
+    // intent)
+    val largeSf = {
+      val base = java.nio.file.Paths.get(canon(sfDir)).getFileName.toString
+      "^sf([0-9]+)f?$".r.findFirstMatchIn(base)
+        .exists(_.group(1).toInt >= 1)
+    }
     // the tier gate governs full-catalog runs only: a query NAMED in
     // SPARK_GRAFT_ONLY is an explicit request and always runs
     val tierSkipped =
@@ -209,7 +218,7 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val retimedNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = firstPass.map { case (name, best, err) =>
+    val resultsCommittedPass = firstPass.map { case (name, best, err) =>
       committed.get(name) match {
         case Some(c) if err.isEmpty && best > 1.5 * c && best > 0.1 =>
           val (again, e2) = timeOnce(name, selected(name))
@@ -224,6 +233,47 @@ object Bench {
         case _ => (name, best, err)
       }
     }
+    // CATALOG SELF-LOAD BACKSTOP (round-11 verdict item 3): at large sf
+    // the heavy tail rows run 1.5-2.4x above their idle minima because
+    // earlier queries' cache/GC/codegen load is still draining (sf4
+    // catalog q_triangles 196.2 s vs 106.6 s idle min). The committed-map
+    // backstop above only arms at the default sf, so at large sf every
+    // row whose min-of-N still exceeds `heavySec` gets ONE isolated
+    // re-time at run end — lingering persisted blocks dropped, a GC
+    // pass, then min-merge; names land in `retimed` so the artifact says
+    // which rows were recovered. SPARK_GRAFT_HEAVY_RETIME_SEC=0 disables.
+    val heavySec =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETIME_SEC", "20").toDouble
+    val results =
+      if (!largeSf || heavySec <= 0) resultsCommittedPass
+      else {
+        val heavy = resultsCommittedPass
+          .filter { case (_, v, e) => e.isEmpty && v > heavySec }
+          .map(_._1).toSet
+        if (heavy.isEmpty) resultsCommittedPass
+        else {
+          System.err.println(s"[bench] isolated re-time of ${heavy.size} " +
+            s"heavy rows (> $heavySec s) after cache drop + GC: " +
+            heavy.toSeq.sorted.mkString(","))
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(3000)
+          resultsCommittedPass.map { case (name, best, err) =>
+            if (!heavy.contains(name)) (name, best, err)
+            else {
+              val (again, e2) = timeOnce(name, selected(name))
+              retimedNames += name
+              if (e2.isEmpty && again < best) {
+                System.err.println(
+                  f"[bench] heavy retimed $name: $best%.3f -> $again%.3f")
+                (name, again, err)
+              } else (name, best, err)
+            }
+          }
+        }
+      }
     // a failed query reports -1 (never a fake-fast wall time) + an errors row
     def fmt(v: Double): String = f"$v%.3f"
     def entry(k: String, v: Double, err: Option[String]): String =

@@ -25,11 +25,28 @@ object Dedup {
     * on a tight heap (the 24 g driver-memory sensitivity, SURVEY §7f-2)
     * the cache stops evicting/GC-thrashing at the price of per-access
     * deserialization. MemAudit measures the trade at both heap sizes.
+    *
+    * AUTO-SELECT (round-11 verdict item 3): when the env var is unset
+    * and the JVM max heap is under 32 GiB, default to the serialized
+    * level — MEMAUDIT_r11 measured the deserialized cache GC-thrashing
+    * at 24 g (43.5 s vs 14.1 s serialized on the worst row) while at
+    * 48 g deserialized wins. `SPARK_GRAFT_PAIR_STORAGE=deser` forces
+    * the deserialized level on any heap.
     */
   private[graft] lazy val pairStorage: org.apache.spark.storage.StorageLevel =
-    if (sys.env.get("SPARK_GRAFT_PAIR_STORAGE").contains("ser"))
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    sys.env.get("SPARK_GRAFT_PAIR_STORAGE") match {
+      case Some("ser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case Some("deser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case _ =>
+        // 30 GiB, not 32: Runtime.maxMemory reports slightly under the
+        // nominal -Xmx (GC region accounting), and a -Xmx32g run should
+        // classify as the 32 g tier, not flip to ser on the rounding
+        if (Runtime.getRuntime.maxMemory < 30L * 1024 * 1024 * 1024) {
+          System.err.println("[graft] pairStorage: heap < ~32g -> " +
+            "MEMORY_AND_DISK_SER (SPARK_GRAFT_PAIR_STORAGE=deser to override)")
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        } else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    }
 
   /** Word n-gram shingles (distinct) of a text column.
     *
@@ -558,35 +575,45 @@ object Dedup {
     */
   lazy val hyperplanes: Array[Array[Double]] = {
     val rng = new scala.util.Random(42)
-    // 1024 planes = headroom for [[autoBanding]]'s deepest shape
-    // (rows=20 × bands=36 = 720). `Array.fill` draws row-by-row, so the
-    // first 64 rows are bit-identical to the historical 64-plane bank —
-    // every committed oracle SQL literal and pinned-(8,8) bucket key is
-    // unchanged (the correctness gate would catch any drift).
-    Array.fill(1024)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    // 2048 planes = headroom for [[autoBanding]]'s deepest shape
+    // (rows=20 × bands=92 = 1840 under the dual-design-point table).
+    // `Array.fill` draws row-by-row, so the first 64 rows are
+    // bit-identical to the historical 64-plane bank — every committed
+    // oracle SQL literal and pinned-(8,8) bucket key is unchanged (the
+    // correctness gate would catch any drift).
+    Array.fill(2048)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
   /** Pinned (rows → bands) table for [[autoBanding]]: for each signature
     * width `rows`, the band count that holds the S-curve recall of the
-    * historical (bands=8, rows=8) shape at design cosine c* = 0.95
-    * (p* = 1 − arccos(0.95)/π ≈ 0.89892; baseline recall
-    * R₈ = 1 − (1 − p*⁸)⁸ ≈ 0.9883; bands(r) = ⌈ln(1−R₈)/ln(1−p*ʳ)⌉,
-    * with bands(8) = 8 exactly by construction). Literals are PINNED —
-    * recomputing them per-JVM from doubles could drift a ceil across
-    * platforms and silently change every bucket key.
+    * historical (bands=8, rows=8) shape at BOTH design cosines —
+    * bands(r) = max(bands₀.₉₅(r), bands₀.₈₅(r)) with
+    * bands_c(r) = ⌈ln(1−R₈(c))/ln(1−p(c)ʳ)⌉, p(c) = 1 − arccos(c)/π,
+    * R₈(c) = 1 − (1 − p(c)⁸)⁸ (p(0.95) ≈ 0.89892, R₈ ≈ 0.9883;
+    * p(0.85) ≈ 0.82340, R₈ ≈ 0.8503; bands(8) = 8 by construction).
+    * Literals are PINNED — recomputing them per-JVM from doubles could
+    * drift a ceil across platforms and silently change every bucket key.
     *
-    * Recall contract: at every cosine ≥ ~0.85 (the S-curve crossing),
-    * each adaptive shape's recall ≥ the (8, 8) baseline's — pointwise,
-    * not just at c*. Below the crossing a steeper curve (more rows)
-    * necessarily trades recall for precision; that is the point of
-    * sizing rows with the corpus, and recall down there was never the
-    * near-dup contract (the (8, 8) shape itself recalls <20% at
-    * cos 0.4). EmbeddingLshAutoSpec pins the ≥ empirically on a
-    * planted corpus in the contract regime.
+    * Recall contract (round-12 restatement — the r11 single-design-point
+    * table only guaranteed ≥ at c* = 0.95; for tight rungs the crossing
+    * sat near 0.95, so mid-cosine recall silently dropped below the
+    * baseline): anchoring each rung at BOTH 0.95 and 0.85 pins the
+    * adaptive curve ≥ the (8, 8) baseline at the two ends of the
+    * near-dup regime, and because two S-curves of this family cross at
+    * most once, the ≥ holds POINTWISE on all of cos ∈ [0.85, 1]
+    * (verified on a 0.001-step grid for every rung; zero violations).
+    * Below 0.85 a steeper curve necessarily trades recall for precision
+    * — that is the point of sizing rows with the corpus, and recall
+    * down there was never the near-dup contract (the (8, 8) shape
+    * itself recalls <20% at cos 0.4). EmbeddingLshAutoSpec pins the ≥
+    * empirically on planted corpora at a shallow (rows=9) AND a deep
+    * (rows≥11) rung. Cost: the 0.85 anchor raises bands 1.3–1.6× at
+    * the rungs real corpora hit (11–14) — the coincidental-collision
+    * term stays ≈ n·occ·bands, still linear in n.
     */
   val bandsForRows: Map[Int, Int] = Map(
-    8 -> 8, 9 -> 10, 10 -> 11, 11 -> 12, 12 -> 14, 13 -> 16, 14 -> 18,
-    15 -> 20, 16 -> 23, 17 -> 25, 18 -> 28, 19 -> 32, 20 -> 36)
+    8 -> 8, 9 -> 10, 10 -> 13, 11 -> 16, 12 -> 19, 13 -> 23, 14 -> 28,
+    15 -> 35, 16 -> 42, 17 -> 51, 18 -> 62, 19 -> 76, 20 -> 92)
 
   /** Corpus-adaptive LSH shape (SURVEY §7f-0 / round-10 verdict item 1):
     * coincidental collisions between non-near-dup vectors contribute
@@ -662,7 +689,16 @@ object Dedup {
         .filter(col("cos") >= threshold)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .localCheckpoint(true)
-    } finally base.unpersist()
+    } finally {
+      base.unpersist()
+      // restore the session-global SQL function to the shape
+      // GraftExtensions documents (pinned 64-plane / rows=8): the
+      // adaptive registration above is needed only until the
+      // localCheckpoint materializes, and leaving it would silently
+      // hand later SQL callers drifted bucket keys
+      graft.plans.SignProjKeys.register(emb.sparkSession,
+        hyperplanes.take(64), 8)
+    }
   }
 
   /** [[embeddingLshPairs]] with the (bands, rows) shape auto-sized from

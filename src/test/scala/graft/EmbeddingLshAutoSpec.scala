@@ -34,14 +34,44 @@ class EmbeddingLshAutoSpec extends AnyFunSuite {
 
   test("rows ladder tracks ceil(log2(n/occ)) and caps within the bank") {
     assert(Dedup.autoBanding(4097L)._2 === 9)
-    assert(Dedup.autoBanding(20000L) === (12, 11))  // sf1 replica corpus
-    assert(Dedup.autoBanding(80000L) === (16, 13))  // sf4 replica corpus
-    assert(Dedup.autoBanding(100L * 1000 * 1000) === (36, 20)) // capped
+    assert(Dedup.autoBanding(20000L) === (16, 11))  // sf1 replica corpus
+    assert(Dedup.autoBanding(80000L) === (23, 13))  // sf4 replica corpus
+    assert(Dedup.autoBanding(100L * 1000 * 1000) === (92, 20)) // capped
     // every rung: recall-holding bands entry exists and planes fit
     (8 to 20).foreach { r =>
       val b = Dedup.bandsForRows(r)
       assert(b * r <= Dedup.hyperplanes.length,
         s"rows=$r bands=$b exceeds the hyperplane bank")
+    }
+  }
+
+  test("bandsForRows literals = dual-design-point formula (0.95 AND 0.85)") {
+    // independent re-derivation of the pinned table (round-12 ADVICE
+    // item: the r11 single-point table only held recall >= baseline AT
+    // c*=0.95; anchoring at both ends of the near-dup regime plus the
+    // single-crossing property of this S-curve family gives pointwise
+    // >= on all of cos in [0.85, 1])
+    def p(c: Double) = 1.0 - math.acos(c) / math.Pi
+    def bandsAt(c: Double, r: Int): Int = {
+      val r8 = 1.0 - math.pow(1.0 - math.pow(p(c), 8), 8)
+      math.ceil(math.log(1.0 - r8) / math.log(1.0 - math.pow(p(c), r))).toInt
+    }
+    assert(Dedup.bandsForRows(8) === 8)
+    (9 to 20).foreach { r =>
+      val want = math.max(bandsAt(0.95, r), bandsAt(0.85, r))
+      assert(Dedup.bandsForRows(r) === want, s"rows=$r")
+    }
+    // and the theoretical pointwise dominance on a cosine grid — the
+    // property the table is FOR, checked against the closed form
+    def recall(c: Double, b: Int, r: Int) =
+      1.0 - math.pow(1.0 - math.pow(p(c), r), b)
+    (9 to 20).foreach { r =>
+      val b = Dedup.bandsForRows(r)
+      (850 to 999).foreach { m =>
+        val c = m / 1000.0
+        assert(recall(c, b, r) >= recall(c, 8, 8) - 1e-12,
+          s"rows=$r bands=$b loses recall at cos=$c")
+      }
     }
   }
 
@@ -119,5 +149,88 @@ class EmbeddingLshAutoSpec extends AnyFunSuite {
       f"autoRecall=$autoRecall%.4f shape=($ab,$ar)")
     assert(autoRecall >= fixedRecall,
       f"adaptive recall $autoRecall%.4f < fixed recall $fixedRecall%.4f")
+  }
+
+  test("adaptive recall >= fixed-(8,8) on a DEEP rung (n=20000, rows=11)") {
+    // the r11 spec only exercised rows=9 — the one rung where the old
+    // single-design-point table happened to hold mid-cosine recall; this
+    // pins the dual-point table at the sf1-replica rung (rows=11,
+    // bands=16), with family cosines spread across 0.85-0.97 — exactly
+    // the regime the old bands=12 entry lost (0.778 vs 0.850 at 0.85)
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val fam = 5
+    val rowsData = (0 until 4000).flatMap { b =>
+      val base = unit(Array.fill(dim)(rng.nextGaussian().toFloat))
+      (0 until fam).map { j =>
+        // noise 0.03..0.075 -> member-vs-base cos ~ 1/sqrt(1+noise^2*64)
+        // ~ 0.97..0.86, so planted pairs populate the whole contract
+        // regime instead of saturating near 1.0
+        val noise = 0.03f + 0.045f * j / fam
+        val v =
+          if (j == 0) base
+          else unit(base.zip(Array.fill(dim)(rng.nextGaussian().toFloat))
+            .map { case (x, e) => x + noise * e })
+        (b.toLong * fam + j, b, v)
+      }
+    }
+    val df = rowsData.toDF("vec_id", "family", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.count()
+    val (ab, ar) = Dedup.autoBanding(n)
+    assert(ar >= 11, s"corpus n=$n must reach the deep rung (rows>=11)")
+    val thr = 0.85
+    graft.plans.VecCosine.register(spark)
+    val fams = df.select($"vec_id", $"family", $"vec")
+    val planted = fams.as("a").join(fams.as("b"),
+        $"a.family" === $"b.family" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        graft.plans.VecCosine.cosine($"a.vec", $"b.vec").as("cos"))
+      .filter($"cos" >= thr)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.size > 5000, s"planted truth too small: ${planted.size}")
+    def recovered(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      pairs.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = recovered(
+      Dedup.embeddingLshPairs(df, "vec_id", "vec", 8, 8, thr))
+    val auto = recovered(
+      Dedup.embeddingLshPairsAuto(df, "vec_id", "vec", thr))
+    df.unpersist()
+    val fixedRecall = (planted & fixed).size.toDouble / planted.size
+    val autoRecall = (planted & auto).size.toDouble / planted.size
+    info(f"planted=${planted.size} fixedRecall=$fixedRecall%.4f " +
+      f"autoRecall=$autoRecall%.4f shape=($ab,$ar)")
+    assert(autoRecall >= fixedRecall,
+      f"deep-rung adaptive recall $autoRecall%.4f < fixed $fixedRecall%.4f")
+  }
+
+  test("session sign_proj_keys stays pinned 8x8 after an adaptive run") {
+    // ADVICE item: embeddingLshPairs registers the adaptive shape as the
+    // session-global SQL function while it runs; it must restore the
+    // pinned 64-plane/rows=8 shape (8 band keys) on exit, or later SQL
+    // callers silently get drifted bucket keys
+    import spark.implicits._
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d) % 7 - 3).toFloat)))
+      .toDF("vec_id", "vec")
+    graft.plans.SignProjKeys.register(spark, Dedup.hyperplanes.take(64), 8)
+    val before = spark.sql(
+      "SELECT sign_proj_keys(array_repeat(cast(1.0 as float), 64)) AS k")
+      .head.getSeq[Any](0)
+    // adaptive shape (10 bands x 9 rows != pinned) registered + restored
+    Dedup.embeddingLshPairs(df, "vec_id", "vec", bands = 10, rows = 9,
+      threshold = 0.99).count()
+    val after = spark.sql(
+      "SELECT sign_proj_keys(array_repeat(cast(1.0 as float), 64)) AS k")
+      .head.getSeq[Any](0)
+    assert(after.size === 8, s"expected 8 pinned band keys, got ${after.size}")
+    assert(after === before, "sign_proj_keys drifted after adaptive run")
   }
 }

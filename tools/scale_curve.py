@@ -35,8 +35,16 @@ import sys
 
 
 def load_merged(d, sf, suffix):
-    """Min-merge every artifact for one (sf, mode) point."""
+    """Min-merge every artifact for one (sf, mode) point.
+
+    Returns (merged, n_runs): n_runs is the number of artifact files
+    merged — recorded in the emitted artifact and printed table because
+    an UNEQUAL run count across points biases the fitted exponent (a
+    min-of-3 endpoint vs a min-of-1 start point pulls the slope down;
+    readers must be able to see the asymmetry).
+    """
     merged = {}
+    n_runs = 0
     seen = False
     for base in (d, "/tmp", "."):
         paths = sorted(glob.glob(
@@ -44,6 +52,7 @@ def load_merged(d, sf, suffix):
         if not paths:
             continue
         seen = True
+        n_runs = len(paths)
         for p in paths:
             with open(p) as f:
                 qs = json.load(f)["queries"]
@@ -53,7 +62,7 @@ def load_merged(d, sf, suffix):
                 if q not in merged or t < merged[q]:
                     merged[q] = t
         break  # first dir that has any artifact wins (no cross-dir mixing)
-    return merged if seen else None
+    return (merged, n_runs) if seen else (None, 0)
 
 
 def main():
@@ -64,7 +73,11 @@ def main():
         out_json = args[i + 1]
         del args[i:i + 2]
     d = args[0] if args else "."
-    points = [("sf1", 10), ("sf2", 20), ("sf4", 40)]
+    # sf8 (80x) is an optional 4th octave — load_merged returns None when
+    # a point has no artifact and the point is simply absent from that
+    # mode's fit (the exponent is always fitted end point vs start point
+    # of whatever is present)
+    points = [("sf1", 10), ("sf2", 20), ("sf4", 40), ("sf8", 80)]
     artifact = {
         "metric": "pair_family_scale_curve",
         "base": "sf0.1 (factor 1)",
@@ -73,18 +86,24 @@ def main():
         "factors": {sf: f for sf, f in points},
         "modes": {},
     }
+    artifact["run_counts"] = {}
     for mode, suffix in (("replica", ""), ("fresh", "f")):
         runs = {}
+        run_counts = {}
         for sf, factor in points:
-            j = load_merged(d, sf, suffix)
+            j, n_runs = load_merged(d, sf, suffix)
             if j:
                 runs[factor] = j
+                run_counts[sf] = n_runs
         if len(runs) < 2:
             print(f"[{mode}] missing artifacts, skipping")
             continue
+        artifact["run_counts"][mode] = run_counts
         factors = sorted(runs)
         qs = sorted(set.intersection(*(set(r) for r in runs.values())))
         print(f"\n### {mode} corpora (data factor vs sf0.1 base)")
+        print("runs merged per point: " + ", ".join(
+            f"{sf}={n}" for sf, n in sorted(run_counts.items())))
         hdr = " | ".join(f"{f}x s" for f in factors)
         print(f"| query | {hdr} | exponent |")
         print("|---|" + "---|" * (len(factors) + 1))
