@@ -131,6 +131,12 @@ object Dedup {
     * Callers take their prefix with `filter(_pos <= plen)`; `_pos` also
     * feeds the PPJoin positional filter (see [[prefixCandidates]]).
     */
+  /** [[dfOrderedPosts]] for the stage-decomposition probe
+    * (graft.ContainmentDecomp) — same frame containmentPairs persists.
+    */
+  private[graft] def rankedPostsForProbe(base: DataFrame,
+      idCol: String): DataFrame = dfOrderedPosts(base, idCol, Seq.empty)
+
   private def dfOrderedPosts(base: DataFrame, idCol: String,
       bandCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
