@@ -314,9 +314,14 @@ object DataOpsQueries {
     val assigned = emb.withColumn("bucket",
       Similarity.argmaxCosine($"embedding", cents))
     val pairs = Dedup.embeddingPairs(assigned, "vec_id", "embedding",
-      "bucket", 0.35)
-      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-    val dropped = Dedup.dupClusters(pairs)
+      "bucket", 0.35, keepBand = true)
+      .select($"bucket", $"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    // edges never cross buckets (pairs join within bucket), so CC is
+    // one grouped union-find pass — the global pointer-jumping loop
+    // cost 12.1 s of the 17.0 s sf4-replica wall on 7.5M replica-clique
+    // edges (SemDedupDecomp), and its per-round shuffles grow with the
+    // corpus while the bucketed pass stays one edge shuffle
+    val dropped = Dedup.dupClustersBucketed(pairs, "bucket")
       .filter($"id" =!= $"label").select($"id".as("vec_id"))
       .withColumn("_drop", lit(1L))
     assigned.join(dropped, Seq("vec_id"), "left")

@@ -512,6 +512,52 @@ object Dedup {
   /** Exact min-label components via union-find (path compression + attach
     * -larger-root-under-smaller, so every root IS its component's min id).
     */
+  /** [[dupClusters]] for pair sets whose edges NEVER cross a known
+    * blocking column (SemDeDup: [[embeddingPairs]] joins within the
+    * k-means bucket, so components are bucket-local by construction).
+    * One shuffle (group by bucket) + a per-group union-find replaces
+    * the global O(log diameter) pointer-jumping loop — at sf4-replica
+    * the 7.5M-edge semdedup pair set took 12.1 s through the
+    * distributed loop vs one grouped pass here, and the shape is the
+    * 100 TB path: bucket count grows with n (Similarity.autoK), while
+    * per-group state is O(vertices in bucket) — bounded by the
+    * quantizer's target bucket size, independent of corpus size.
+    * Edges stream from the group iterator (never materialized).
+    *
+    * Same contract as [[dupClusters]]: (id, label) for every id in
+    * `pairs`, label = component-min id (union-by-min, identical to
+    * driverUnionFind's arithmetic — SemDedupAutoKSpec pins parity).
+    */
+  def dupClustersBucketed(pairs: DataFrame, bucketCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    pairs.select(col(bucketCol).cast("long"), col(aCol).cast("long"),
+        col(bCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.map(v => (v, find(v))).toSeq
+      }
+      .toDF("id", "label")
+  }
+
   private def driverUnionFind(pairs: DataFrame): DataFrame = {
     val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -737,15 +783,18 @@ object Dedup {
     * pair costs a single dot-product fold.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bandCol: String, threshold: Double): DataFrame = {
+      bandCol: String, threshold: Double,
+      keepBand: Boolean = false): DataFrame = {
     graft.plans.VecCosine.register(emb.sparkSession)
     val a = emb.select(col(bandCol), col(idCol), col(vecCol))
     val b = a.toDF(bandCol, s"${idCol}_b", s"${vecCol}_b")
+    val out = (if (keepBand) Seq(col(bandCol)) else Seq.empty) ++ Seq(
+      col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"), col("cos"))
     a.join(b, bandCol)
       .filter(col(idCol) < col(s"${idCol}_b"))
       .withColumn("cos",
         graft.plans.VecCosine.cosine(col(vecCol), col(s"${vecCol}_b")))
       .filter(col("cos") >= threshold)
-      .select(col(idCol).as("vec_a"), col(s"${idCol}_b").as("vec_b"), col("cos"))
+      .select(out: _*)
   }
 }

@@ -57,6 +57,34 @@ class SemDedupAutoKSpec extends AnyFunSuite {
     assert(Similarity.isqrt((1L << 31) * (1L << 31) - 1L) === (1L << 31) - 1L)
   }
 
+  test("dupClustersBucketed == dupClusters on seeded bucket-local edges") {
+    import spark.implicits._
+    // chains, cliques, singleton-pair and cross-component shapes, all
+    // bucket-local (the variant's precondition), ids deliberately NOT
+    // contiguous and labels spanning buckets' id ranges
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 40).flatMap { b =>
+      // each id belongs to exactly one bucket (the semdedup invariant:
+      // a vector is assigned to one k-means bucket), ids non-contiguous
+      val ids = (0 until 30).map(_ =>
+        b.toLong * 1000000 + rng.nextInt(100000)).distinct
+      val chain = ids.sliding(2).filter(_.size == 2)
+        .map(p => (b.toLong, p(0), p(1))).toSeq.take(10)
+      val clique = for {
+        i <- ids.indices.take(6); j <- ids.indices.take(6) if i < j
+      } yield (b.toLong, ids(i), ids(j))
+      val loose = ids.takeRight(4).sliding(2).filter(_.size == 2)
+        .map(p => (b.toLong, p(1), p(0))).toSeq // reversed order too
+      chain ++ clique ++ loose
+    }
+    val pairs = edges.toDF("bucket", "doc_a", "doc_b")
+    val expect = graft.operators.Dedup.dupClusters(pairs.drop("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.operators.Dedup.dupClustersBucketed(pairs, "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
   test("qSemDedup == pinned-K=4 pipeline at oracle scale (route parity)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
