@@ -207,6 +207,7 @@ object Dedup {
   private def jaccardPairsOn(base: DataFrame, idCol: String,
       bandCols: Seq[String], threshold: Double,
       pairPredicate: Option[Column] = None): DataFrame = {
+    graft.plans.SortedIntersectCount.register(base.sparkSession)
     val candidates = prefixCandidates(base, idCol, bandCols, threshold,
       pairPredicate)
     val aSide = base.select(col(idCol), col("_sh"), col("_n"))
@@ -214,7 +215,11 @@ object Dedup {
     candidates.join(aSide, idCol).join(bSide, s"${idCol}_b")
       .filter(col("_n_b") >= col("_n") * threshold &&
         col("_n") >= col("_n_b") * threshold)
-      .withColumn("_c", size(array_intersect(col("_sh"), col("_sh_b"))))
+      // _sh is sorted-distinct by construction (see the callers'
+      // array_sort) — the two-pointer count IS size(array_intersect)
+      // without the per-pair hash set + materialized intersection array
+      .withColumn("_c",
+        graft.plans.SortedIntersectCount.count(col("_sh"), col("_sh_b")))
       .withColumn("jaccard",
         col("_c").cast("double") / (col("_n") + col("_n_b") - col("_c")))
       .filter(col("jaccard") >= threshold)
@@ -237,11 +242,34 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, shingleCol: String,
       num: Int, den: Int, preHashed: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val sh =
       if (preHashed) array_sort(col(shingleCol))
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
-    val base = docs.select(col(idCol), sh.as("_sh"))
+    // EXACT-DUPLICATE COLLAPSE (round-12: ContainmentDecomp measured the
+    // sf4-replica wall 85% in the verify join over 181M candidates, and
+    // replica cliques are the candidate mass): containment is a function
+    // of the two shingle SETS alone, so identical sets are interchangeable
+    // — group them (exact array equality, no hash-collision exposure),
+    // run the posting/verify machinery once per DISTINCT set, and expand
+    // rep-level pairs back to member pairs at the end. Replica-style
+    // corpora (and real 100 TB crawls, where exact dups are 20-40% of
+    // documents) stop paying the near-dup join per copy; a collapse
+    // group of g docs turns g² candidate×verify work into 1. On an
+    // all-distinct corpus the collapse is two linear co-partitioned
+    // shuffles on _sh and the mapping join is a no-op expansion.
+    val all = docs.select(col(idCol), sh.as("_sh"))
+      .persist(Dedup.pairStorage)
+    // min-id representative per distinct set; mapping id -> rep is a
+    // co-partitioned join on _sh (never a collect_list of group members
+    // — a boilerplate doc duplicated 10⁹ times must not become one row)
+    val repTab = all.groupBy(col("_sh")).agg(min(col(idCol)).as("_rep"))
+    val base = repTab
+      .select(col("_rep").as(idCol), col("_sh"))
       .withColumn("_n", size(col("_sh")))
+      .persist(Dedup.pairStorage)
+    val mapping = all.join(repTab, "_sh")
+      .select(col(idCol).as("_m"), col("_rep"))
       .persist(Dedup.pairStorage)
     // the rank-annotated postings feed BOTH sides of the candidate join
     // (query prefix + full index): persist them for the duration of the
@@ -256,15 +284,45 @@ object Dedup {
       val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
         col("_n").as("_n_a"))
       val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
-      candidates.join(aSide, "_a").join(bSide, "_b")
-        .withColumn("_c", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      // rep-level qualifying pairs (directed, between DISTINCT sets);
+      // _sh is sorted-distinct by construction, so the two-pointer count
+      // IS size(array_intersect) without the per-pair hash set + the
+      // materialized intersection array the old verify allocated 181M×
+      val repPairs = candidates.join(aSide, "_a").join(bSide, "_b")
+        .withColumn("_c",
+          graft.plans.SortedIntersectCount.count(col("_sh_a"), col("_sh_b")))
         .filter(col("_c") * den >= col("_n_a") * num)
-        .select(col("_a").as("doc_sub"), col("_b").as("doc_sup"),
+        .select(col("_a"), col("_b"), col("_c"), col("_n_a"))
+      // expand rep pairs to member pairs: every (a ∈ group(_a), b ∈
+      // group(_b)) inherits the rep pair's exact counts (same sets).
+      // Output-sized joins.
+      val subMap = mapping.select(col("_m").as("doc_sub"), col("_rep").as("_a"))
+      val supMap = mapping.select(col("_m").as("doc_sup"), col("_rep").as("_b"))
+      val cross = repPairs.join(subMap, "_a").join(supMap, "_b")
+        .select(col("doc_sub"), col("doc_sup"),
           col("_c").cast("long").as("common"),
           col("_n_a").cast("long").as("size_sub"),
           (col("_c").cast("double") / col("_n_a")).as("containment"))
-        .localCheckpoint(true)
-    } finally { ranked.unpersist(); base.unpersist(): Unit }
+      // within-group pairs: identical sets contain each other exactly
+      // (C = 1 ≥ any threshold) — every ordered member pair, both
+      // directions. Output-sized (these ARE result rows).
+      val m2 = mapping.toDF("_m2", "_rep")
+      // _n = 0 groups (empty shingle sets) never share a posting, so the
+      // pre-collapse pipeline never paired them — keep them out here too
+      val sizes = base.select(col(idCol).as("_rep"), col("_n"))
+        .filter(col("_n") > 0)
+      val within = mapping.join(m2, "_rep")
+        .filter(col("_m") =!= col("_m2"))
+        .join(sizes, "_rep")
+        .select(col("_m").as("doc_sub"), col("_m2").as("doc_sup"),
+          col("_n").cast("long").as("common"),
+          col("_n").cast("long").as("size_sub"),
+          lit(1.0).as("containment"))
+      cross.unionAll(within).localCheckpoint(true)
+    } finally {
+      ranked.unpersist(); base.unpersist(); mapping.unpersist()
+      all.unpersist(): Unit
+    }
   }
 
   /** Candidate (query, index) pairs for the containment posting join —
