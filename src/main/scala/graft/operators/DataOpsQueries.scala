@@ -606,7 +606,11 @@ object DataOpsQueries {
     // pushed into the candidate posting join so same-side pairs (half of
     // the quadratic candidate mass) are never generated at all
     Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5, preHashed = true,
-      pairPredicate = Some(col("doc_id") % 2 =!= col("doc_id_b") % 2))
+      pairPredicate = Some(col("doc_id") % 2 =!= col("doc_id_b") % 2),
+      // the parity gate is a function of id % 2 — declaring it as the
+      // collapse key keeps every exact-dup group side-pure, so the
+      // exact-duplicate collapse stays lossless under the blocking
+      collapseKeys = Seq(col("doc_id") % 2))
       .select(
         when($"doc_a" % 2 === 1, $"doc_a").otherwise($"doc_b").as("new_doc"),
         when($"doc_a" % 2 === 1, $"doc_b").otherwise($"doc_a").as("dup_of"),

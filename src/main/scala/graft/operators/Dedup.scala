@@ -89,22 +89,93 @@ object Dedup {
     * exact intersect. Shuffle keys are single shingle hashes — skew-safe
     * under AQE, never a bucket cross-product.
     */
+  /** `collapseKeys` — enables the exact-duplicate collapse (see
+    * [[containmentPairs]]) when a `pairPredicate` is present: the
+    * predicate must be a FUNCTION of the listed per-doc expressions (e.g.
+    * the ingest parity gate `id % 2 ≠ id_b % 2` is a function of
+    * `Seq(col(id) % 2)`), so that every collapse group is
+    * predicate-homogeneous and rep-level blocking equals member-level
+    * blocking. With no predicate the collapse is always safe and always
+    * on; with a predicate and NO keys the collapse is skipped (legacy
+    * exact path) because a predicate that varies inside a group could be
+    * blocked at the rep and silently lose qualifying member pairs.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
       bandCols: Seq[String], threshold: Double,
       preHashed: Boolean = false,
-      pairPredicate: Option[Column] = None): DataFrame = {
+      pairPredicate: Option[Column] = None,
+      collapseKeys: Seq[Column] = Seq.empty): DataFrame = {
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
     // the text→shingle→hash chain feeds the posting join AND both verify
     // sides — persist it once (size ~ corpus ids + hashed shingles).
     // preHashed: shingleCol is already a distinct array<bigint>.
     val sh =
       if (preHashed) array_sort(col(shingleCol))
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
-    val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
-      .withColumn("_n", size(col("_sh")))
-      .persist(Dedup.pairStorage)
-    try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
-      .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
-    finally base.unpersist()
+    if (pairPredicate.isDefined && collapseKeys.isEmpty) {
+      // legacy path: predicate without a group-homogeneity contract
+      val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
+        .withColumn("_n", size(col("_sh")))
+        .persist(Dedup.pairStorage)
+      try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
+        .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
+      finally base.unpersist()
+    } else {
+      // EXACT-DUPLICATE COLLAPSE (round 12, the containmentPairs pattern):
+      // Jaccard is a function of the two shingle SETS, so identical
+      // (bandCols, collapseKeys, set) rows run the posting/verify
+      // machinery once per distinct group and rep pairs expand back to
+      // member pairs with output-sized joins. A g-copy replica clique
+      // pays 1 candidate+verify unit instead of g²; an all-distinct
+      // corpus pays two linear co-partitioned shuffles on _sh.
+      val ckNames = collapseKeys.indices.map(i => s"_ck$i")
+      val all = docs.select(bandCols.map(col) ++ Seq(col(idCol)) ++
+        collapseKeys.zip(ckNames).map { case (c, n) => c.as(n) } :+
+        sh.as("_sh"): _*)
+        .persist(Dedup.pairStorage)
+      val gKeys = (bandCols ++ ckNames) :+ "_sh"
+      val repTab = all.groupBy(gKeys.map(col): _*)
+        .agg(min(col(idCol)).as("_rep"))
+      val base = repTab
+        .select(bandCols.map(col) ++ Seq(col("_rep").as(idCol), col("_sh")): _*)
+        .withColumn("_n", size(col("_sh")))
+        .persist(Dedup.pairStorage)
+      val mapping = all.join(repTab, gKeys)
+        .select(col(idCol).as("_m"), col("_rep"))
+        .persist(Dedup.pairStorage)
+      try {
+        val repPairs = jaccardPairsOn(base, idCol, bandCols, threshold,
+          pairPredicate)
+        val subMap = mapping.select(col("_m").as("_ma"), col("_rep").as("doc_a"))
+        val supMap = mapping.select(col("_m").as("_mb"), col("_rep").as("doc_b"))
+        val cross = repPairs.join(subMap, "doc_a").join(supMap, "doc_b")
+          .select(col("_ma").as(idCol), col("_mb").as(s"${idCol}_b"),
+            col("jaccard"))
+        // within-group member pairs: identical sets, J exactly 1.0 — the
+        // pre-collapse pipeline found them via shared postings (df ≥ 2
+        // because both copies were present); empty sets (_n = 0) never
+        // shared a posting, so they stay excluded
+        val m2 = mapping.toDF("_m2", "_rep")
+        val sizes = base.select(col(idCol).as("_rep"), col("_n"))
+          .filter(col("_n") > 0)
+        val within = mapping.join(m2, "_rep")
+          .filter(col("_m") < col("_m2"))
+          .join(sizes, "_rep")
+          .select(col("_m").as(idCol), col("_m2").as(s"${idCol}_b"),
+            lit(1.0).as("jaccard"))
+        // re-apply the predicate on member pairs: exact for within-group
+        // (the old pipeline evaluated it on actual ids), a no-op for
+        // cross-group under the collapseKeys homogeneity contract
+        cross.unionAll(within)
+          .filter(pairPredicate.getOrElse(lit(true)))
+          .select(least(col(idCol), col(s"${idCol}_b")).as("doc_a"),
+            greatest(col(idCol), col(s"${idCol}_b")).as("doc_b"),
+            col("jaccard"))
+          .localCheckpoint(true)
+      } finally {
+        base.unpersist(); mapping.unpersist(); all.unpersist(): Unit
+      }
+    }
   }
 
   /** `pairPredicate` — optional blocking constraint over the pair's two id

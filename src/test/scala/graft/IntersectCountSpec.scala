@@ -76,4 +76,39 @@ class IntersectCountSpec extends AnyFunSuite {
       (for (x <- aIds; y <- bIds) yield (x, y, 10L, 10L, 1.0))
     assert(got === expected.toSet)
   }
+
+  test("jaccard collapse == brute force, incl. the parity-gate keys") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 12 distinct base sets, each duplicated 1-4 times across mixed
+    // parities → exact-dup cliques that straddle the ingest gate's sides
+    var nextId = 0L
+    val docs = (0 until 12).flatMap { s =>
+      val set = rng.shuffle((0L to 50L).toList).take(12 + rng.nextInt(8))
+        .distinct.sorted
+      (0 to rng.nextInt(3)).map { _ =>
+        nextId += 1; (nextId, set)
+      }
+    }.toDF("doc_id", "sh")
+    def brute(pred: Option[(Long, Long) => Boolean]) = {
+      val rows = docs.as[(Long, Seq[Long])].collect()
+      (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        if pred.forall(_(a, b))
+        j = sa.toSet.intersect(sb.toSet).size.toDouble /
+          sa.toSet.union(sb.toSet).size
+        if j >= 0.5
+      } yield (a, b, j)).toSet
+    }
+    val plain = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+      preHashed = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain === brute(None))
+    val gated = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+      preHashed = true,
+      pairPredicate = Some(col("doc_id") % 2 =!= col("doc_id_b") % 2),
+      collapseKeys = Seq(col("doc_id") % 2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gated === brute(Some((a, b) => a % 2 != b % 2)))
+  }
 }
