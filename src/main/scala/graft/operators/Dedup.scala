@@ -100,11 +100,21 @@ object Dedup {
     * exact path) because a predicate that varies inside a group could be
     * blocked at the rep and silently lose qualifying member pairs.
     */
+  /** `collapseExactDups` — the collapse pays two extra linear
+    * array-keyed shuffles to remove clique candidate+verify work; it WINS
+    * when candidate precision is low (unbanded joins: measured ingest
+    * sf4-replica 35 → 27 s) and LOSES when bands already keep verify
+    * ≈ output-sized (q_dedup_ngram_jaccard's (lang, lb) bands, isolated
+    * like-for-like A/B at 40× data: 17.0 vs 20.2 s replica, 16.3 vs
+    * 23.9 s fresh) — banded callers with tight candidate precision
+    * should pass false.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, shingleCol: String,
       bandCols: Seq[String], threshold: Double,
       preHashed: Boolean = false,
       pairPredicate: Option[Column] = None,
-      collapseKeys: Seq[Column] = Seq.empty): DataFrame = {
+      collapseKeys: Seq[Column] = Seq.empty,
+      collapseExactDups: Boolean = true): DataFrame = {
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     // the text→shingle→hash chain feeds the posting join AND both verify
     // sides — persist it once (size ~ corpus ids + hashed shingles).
@@ -112,7 +122,7 @@ object Dedup {
     val sh =
       if (preHashed) array_sort(col(shingleCol))
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
-    if (pairPredicate.isDefined && collapseKeys.isEmpty) {
+    if (!collapseExactDups || (pairPredicate.isDefined && collapseKeys.isEmpty)) {
       // legacy path: predicate without a group-homogeneity contract
       val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
         .withColumn("_n", size(col("_sh")))
@@ -133,6 +143,39 @@ object Dedup {
         collapseKeys.zip(ckNames).map { case (c, n) => c.as(n) } :+
         sh.as("_sh"): _*)
         .persist(Dedup.pairStorage)
+      // DUP-RATE GATE (the autoBanding pattern — decide the shape from a
+      // cheap corpus stat): the collapse's array-keyed groupBy + mapping
+      // join cost ~15-20% of the whole pair job on an all-distinct
+      // corpus, so probe the duplicate rate first with one linear
+      // int-aggregate over the already-persisted frame (hash of the set,
+      // not the set — nothing array-keyed shuffles in the probe). Under
+      // 5% duplicates the clique savings cannot repay the shuffles: run
+      // the legacy single-corpus pipeline. The hash is only a gate
+      // heuristic — a collision merely under-counts distinct sets and
+      // flips the gate toward collapsing, never toward wrong results.
+      val nDocs = all.count()
+      val nSets = all.agg(
+        countDistinct(struct((bandCols ++ ckNames).map(col) :+
+          xxhash64(col("_sh")): _*)).as("d")).head.getLong(0)
+      if (nSets * 20L >= nDocs * 19L) { // dup rate < 5%
+        val base = all
+          .select((bandCols :+ idCol).map(col) :+ col("_sh"): _*)
+          .withColumn("_n", size(col("_sh")))
+        try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
+          .localCheckpoint(true)
+        finally { all.unpersist(): Unit }
+      } else collapsedJaccardPairs(all, idCol, bandCols, threshold,
+        pairPredicate, ckNames)
+    }
+  }
+
+  /** The collapse arm of [[jaccardPairs]] — only entered when the
+    * dup-rate gate measured ≥ 5% exact-duplicate sets.
+    */
+  private def collapsedJaccardPairs(all: DataFrame, idCol: String,
+      bandCols: Seq[String], threshold: Double,
+      pairPredicate: Option[Column], ckNames: Seq[String]): DataFrame = {
+    {
       val gKeys = (bandCols ++ ckNames) :+ "_sh"
       val repTab = all.groupBy(gKeys.map(col): _*)
         .agg(min(col(idCol)).as("_rep"))
@@ -331,6 +374,48 @@ object Dedup {
     // shuffles on _sh and the mapping join is a no-op expansion.
     val all = docs.select(col(idCol), sh.as("_sh"))
       .persist(Dedup.pairStorage)
+    // DUP-RATE GATE (the autoBanding pattern — decide the shape from a
+    // cheap corpus stat): under 5% exact-duplicate sets the collapse's
+    // array-keyed groupBy + mapping join cannot repay themselves — probe
+    // with one linear int-aggregate over the persisted frame (hash of
+    // the set, so nothing array-keyed shuffles in the probe; a collision
+    // only under-counts and flips the gate toward collapsing, never
+    // toward wrong results) and run the single-corpus pipeline when the
+    // corpus is effectively all-distinct.
+    val nDocs = all.count()
+    val nSets = all.agg(countDistinct(xxhash64(col("_sh"))).as("d"))
+      .head.getLong(0)
+    if (nSets * 20L >= nDocs * 19L) { // dup rate < 5%
+      val base = all.withColumn("_n", size(col("_sh")))
+        .persist(Dedup.pairStorage)
+      val ranked = dfOrderedPosts(base, idCol, Seq.empty)
+        .persist(Dedup.pairStorage)
+      try {
+        val candidates = containmentCandidates(base, idCol, num, den,
+          rankedPosts = Some(ranked))
+        val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
+          col("_n").as("_n_a"))
+        val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
+        candidates.join(aSide, "_a").join(bSide, "_b")
+          .withColumn("_c",
+            graft.plans.SortedIntersectCount.count(col("_sh_a"), col("_sh_b")))
+          .filter(col("_c") * den >= col("_n_a") * num)
+          .select(col("_a").as("doc_sub"), col("_b").as("doc_sup"),
+            col("_c").cast("long").as("common"),
+            col("_n_a").cast("long").as("size_sub"),
+            (col("_c").cast("double") / col("_n_a")).as("containment"))
+          .localCheckpoint(true)
+      } finally {
+        ranked.unpersist(); base.unpersist(); all.unpersist(): Unit
+      }
+    } else collapsedContainmentPairs(all, idCol, num, den)
+  }
+
+  /** The collapse arm of [[containmentPairs]] — only entered when the
+    * dup-rate gate measured ≥ 5% exact-duplicate sets.
+    */
+  private def collapsedContainmentPairs(all: DataFrame, idCol: String,
+      num: Int, den: Int): DataFrame = {
     // min-id representative per distinct set; mapping id -> rep is a
     // co-partitioned join on _sh (never a collect_list of group members
     // — a boilerplate doc duplicated 10⁹ times must not become one row)
