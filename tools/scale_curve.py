@@ -100,7 +100,10 @@ def main():
             continue
         artifact["run_counts"][mode] = run_counts
         factors = sorted(runs)
-        qs = sorted(set.intersection(*(set(r) for r in runs.values())))
+        # fit each query on the points where it was MEASURED (an sf8
+        # octave artifact deliberately covers a small subset; a global
+        # intersection would shrink every other query's table to it)
+        qs = sorted(set.union(*(set(r) for r in runs.values())))
         print(f"\n### {mode} corpora (data factor vs sf0.1 base)")
         print("runs merged per point: " + ", ".join(
             f"{sf}={n}" for sf, n in sorted(run_counts.items())))
@@ -110,16 +113,18 @@ def main():
         rows = []
         mode_out = {}
         for q in qs:
-            ts = [runs[f][q] for f in factors]
-            if any(t is None or t <= 0 for t in ts):
-                exp = float("nan")
-            else:
-                exp = (math.log(ts[-1] / ts[0]) /
-                       math.log(factors[-1] / factors[0]))
+            pts = [(f, runs[f][q]) for f in factors
+                   if q in runs[f] and runs[f][q] and runs[f][q] > 0]
+            if len(pts) < 2:
+                continue
+            exp = (math.log(pts[-1][1] / pts[0][1]) /
+                   math.log(pts[-1][0] / pts[0][0]))
+            ts = [runs[f].get(q) for f in factors]
             rows.append((exp, q, ts))
             mode_out[q] = dict(
-                {f"s{f}": round(t, 3) for f, t in zip(factors, ts)},
-                exponent=(round(exp, 2) if not math.isnan(exp) else None))
+                {f"s{f}": round(t, 3) for f, t in zip(factors, ts)
+                 if t is not None},
+                exponent=round(exp, 2))
         # explicit key: NaN exponents sort LAST deterministically (plain
         # tuple sort left them in arbitrary positions — NaN comparisons
         # are always False — and ties fell through to comparing ts lists)
@@ -128,7 +133,8 @@ def main():
                                  r[1]),
                   reverse=True)
         for exp, q, ts in rows:
-            cells = " | ".join(f"{t:.1f}" for t in ts)
+            cells = " | ".join(
+                "-" if t is None else f"{t:.1f}" for t in ts)
             print(f"| {q} | {cells} | {exp:.2f} |")
         artifact["modes"][mode] = mode_out
     if out_json:
