@@ -153,11 +153,17 @@ object Dedup {
       // the legacy single-corpus pipeline. The hash is only a gate
       // heuristic — a collision merely under-counts distinct sets and
       // flips the gate toward collapsing, never toward wrong results.
-      val nDocs = all.count()
-      val nSets = all.agg(
-        countDistinct(struct((bandCols ++ ckNames).map(col) :+
-          xxhash64(col("_sh")): _*)).as("d")).head.getLong(0)
-      if (nSets * 20L >= nDocs * 19L) { // dup rate < 5%
+      val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
+        case Some("force") => false
+        case Some("off") => true
+        case _ =>
+          val nDocs = all.count()
+          val nSets = all.agg(
+            countDistinct(struct((bandCols ++ ckNames).map(col) :+
+              xxhash64(col("_sh")): _*)).as("d")).head.getLong(0)
+          nSets * 20L >= nDocs * 19L // dup rate < 5%
+      }
+      if (skipCollapse) {
         val base = all
           .select((bandCols :+ idCol).map(col) :+ col("_sh"): _*)
           .withColumn("_n", size(col("_sh")))
@@ -382,10 +388,18 @@ object Dedup {
     // only under-counts and flips the gate toward collapsing, never
     // toward wrong results) and run the single-corpus pipeline when the
     // corpus is effectively all-distinct.
-    val nDocs = all.count()
-    val nSets = all.agg(countDistinct(xxhash64(col("_sh"))).as("d"))
-      .head.getLong(0)
-    if (nSets * 20L >= nDocs * 19L) { // dup rate < 5%
+    // SPARK_GRAFT_COLLAPSE=force|off overrides the gate (A/B probes);
+    // default: measure and decide
+    val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
+      case Some("force") => false
+      case Some("off") => true
+      case _ =>
+        val nDocs = all.count()
+        val nSets = all.agg(countDistinct(xxhash64(col("_sh"))).as("d"))
+          .head.getLong(0)
+        nSets * 20L >= nDocs * 19L // dup rate < 5%
+    }
+    if (skipCollapse) {
       val base = all.withColumn("_n", size(col("_sh")))
         .persist(Dedup.pairStorage)
       val ranked = dfOrderedPosts(base, idCol, Seq.empty)
