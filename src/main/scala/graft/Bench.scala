@@ -77,14 +77,14 @@ object Bench {
       "q_minhash_eval", "q_simhash_eval", "q_lsh_sweep",
       "q_dedup_embedding_exact", "q_dedup_embedding_lsh_pinned")
     val tierAll = sys.env.get("SPARK_GRAFT_TIER").contains("all")
-    // large-sf = a ScaleUp corpus (basename sf<N>[f], N >= 1) — NOT
-    // merely "anything that isn't sf0.1": sf0.01/sf0.001 are the other
-    // correctness scales and must keep the small-sf-only queries (a
-    // "!= default" test skipped them there, the opposite of the tier's
-    // intent)
+    // large-sf = a ScaleUp corpus (basename sf<N>[f|d], N >= 1: plain
+    // replica, f=fresh, d=dup-heavy) — NOT merely "anything that isn't
+    // sf0.1": sf0.01/sf0.001 are the other correctness scales and must
+    // keep the small-sf-only queries (a "!= default" test skipped them
+    // there, the opposite of the tier's intent)
     val largeSf = {
       val base = java.nio.file.Paths.get(canon(sfDir)).getFileName.toString
-      "^sf([0-9]+)f?$".r.findFirstMatchIn(base)
+      "^sf([0-9]+)[fd]?$".r.findFirstMatchIn(base)
         .exists(_.group(1).toInt >= 1)
     }
     // the tier gate governs full-catalog runs only: a query NAMED in
@@ -295,10 +295,19 @@ object Bench {
     // complete per-query map to BENCH_FULL.json in the repo root.
     val retimedJson =
       retimedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // every SPARK_GRAFT_* knob in force lands in the artifact — an A/B
+    // probe (e.g. SPARK_GRAFT_COLLAPSE=force) must be self-describing, not
+    // reconstructed from shell history (the r12 sf4 run7 failure was
+    // unadjudicable precisely because the env wasn't recorded)
+    val graftEnv = sys.env.toSeq
+      .filter(_._1.startsWith("SPARK_GRAFT_")).sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
     val env =
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       s""""cpus":$cpus,"repeat":$repeat,"load_waited":$loadWaited,""" +
-      s""""retimed":$retimedJson,""" +
+      s""""retimed":$retimedJson,"graft_env":$graftEnv,""" +
       s""""tier_skipped":${tierSkipped.toSeq.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullLine =

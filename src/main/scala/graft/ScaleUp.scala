@@ -42,6 +42,18 @@ object ScaleUp {
     val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
     val fresh = args.lift(3).contains("fresh")
+    // `dup` mode (round 13): a DUP-HEAVY corpus in the real-crawl regime
+    // the exact-duplicate collapse was built for. replica/fresh modes
+    // perturb every copy (199,992/200,000 distinct texts at sf4), so the
+    // collapse arm never fired at scale — only its overhead was ever
+    // measured. In dup mode each replica-i>0 row keeps its text VERBATIM
+    // with probability 35% (deterministic per (doc, replica) hash), else
+    // half-splices as replica mode does; at factor F the corpus is
+    // ≈ 35·(F−1)/F % exact duplicates (26% at 4×, 31% at 8×) — the
+    // 20-40% band reported for web crawls, and well past the 5% gate.
+    // Embeddings mirror it (verbatim vs perturbed) for the exact-arm
+    // twins.
+    val dup = args.lift(3).contains("dup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,13 +156,22 @@ object ScaleUp {
         val spliced = df
           .withColumn("_pid", pmod($"doc_id" + lit(i), lit(dK)))
           .join(partner, "_pid")
-          .withColumn("text",
+          .withColumn("_splice",
             concat(
               substring($"text", lit(1), (length($"text") / 2).cast("int")),
               lit(" "),
               substring($"_ptext",
                 (length($"_ptext") / 2).cast("int") + 1, lit(1 << 24))))
-          .drop("_pid", "_ptext")
+          // dup mode: keep the text verbatim for a deterministic 35% of
+          // (doc, replica) slots — exact duplicates of replica 0's row —
+          // and splice the rest, so the corpus mixes real dup cliques
+          // with the usual diversity
+          .withColumn("text",
+            if (dup)
+              when(pmod(xxhash64($"doc_id", lit(i)), lit(100)) < 35, $"text")
+                .otherwise($"_splice")
+            else $"_splice")
+          .drop("_pid", "_ptext", "_splice")
         spliced
           .withColumn("doc_id", $"doc_id" + lit(i * dK))
           .withColumn("n_chars", length($"text").cast("long"))
@@ -173,14 +194,22 @@ object ScaleUp {
                   d => struct(xxhash64(d, $"vec_id", lit(i)).as("k"),
                     element_at($"embedding", d + 1).as("v")))),
                 s => s.getField("v"))).otherwise($"embedding"))
-      else df
-        .withColumn("vec_id", $"vec_id" + lit(i * vK))
-        .withColumn("embedding",
+      else {
+        val perturbed =
           zip_with($"embedding",
             transform(sequence(lit(0), size($"embedding") - 1),
               d => d.cast("float")),
             (x, d) => x * (lit(1.0f) + lit(0.002f * i)) +
-              lit(0.001f * i) * pmod(d, lit(5.0f))))
+              lit(0.001f * i) * pmod(d, lit(5.0f)))
+        df.withColumn("vec_id", $"vec_id" + lit(i * vK))
+          .withColumn("embedding",
+            // dup mode: verbatim vectors on the same 35% slot rule —
+            // exact-duplicate twins for the embedding dedup arms
+            if (dup)
+              when(pmod(xxhash64($"vec_id", lit(i)), lit(100)) < 35,
+                $"embedding").otherwise(perturbed)
+            else perturbed)
+      }
     }, "embeddings")
 
     println(s"SCALEUP_DONE factor=$factor dst=$dst")

@@ -95,7 +95,14 @@ object Dedup {
     * the ingest parity gate `id % 2 ≠ id_b % 2` is a function of
     * `Seq(col(id) % 2)`), so that every collapse group is
     * predicate-homogeneous and rep-level blocking equals member-level
-    * blocking. With no predicate the collapse is always safe and always
+    * blocking. The predicate must additionally be SYMMETRIC in the two
+    * sides (`p(a, b) = p(b, a)`, as the parity gate is): rep-level
+    * pruning evaluates it under REP id ordering while the legacy path
+    * evaluates it under MEMBER id ordering, and the two orderings can
+    * disagree across groups — symmetry is what makes both evaluations
+    * equal. (The member-level re-application is canonicalized to
+    * least/greatest order, so only the rep-level PRUNING leans on this.)
+    * With no predicate the collapse is always safe and always
     * on; with a predicate and NO keys the collapse is skipped (legacy
     * exact path) because a predicate that varies inside a group could be
     * blocked at the rep and silently lose qualifying member pairs.
@@ -119,8 +126,14 @@ object Dedup {
     // the text→shingle→hash chain feeds the posting join AND both verify
     // sides — persist it once (size ~ corpus ids + hashed shingles).
     // preHashed: shingleCol is already a distinct array<bigint>.
+    // array_compact on the pre-hashed branch: drops null slots AND marks
+    // the element type non-null — the SortedIntersectCount verify kernel
+    // rejects containsNull=true (a null slot would read undefined), and a
+    // caller-supplied hash column (e.g. portableHash64, whose conv() chain
+    // is nullable-typed) legitimately carries the nullable marker with no
+    // actual nulls. The xxhash64 branch is containsNull=false already.
     val sh =
-      if (preHashed) array_sort(col(shingleCol))
+      if (preHashed) array_sort(array_compact(col(shingleCol)))
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
     if (!collapseExactDups || (pairPredicate.isDefined && collapseKeys.isEmpty)) {
       // legacy path: predicate without a group-homogeneity contract
@@ -153,15 +166,23 @@ object Dedup {
       // the legacy single-corpus pipeline. The hash is only a gate
       // heuristic — a collision merely under-counts distinct sets and
       // flips the gate toward collapsing, never toward wrong results.
+      // ONE aggregate job for both stats (count + countDistinct share the
+      // scan that also materializes the persisted frame): the r12 shape ran
+      // a separate count() first, and at sf0.1 the two fixed job walls on
+      // ~8 gated queries showed up as pure catalog overhead
       val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
         case Some("force") => false
         case Some("off") => true
         case _ =>
-          val nDocs = all.count()
-          val nSets = all.agg(
+          val probe = all.agg(count(lit(1)).as("n"),
             countDistinct(struct((bandCols ++ ckNames).map(col) :+
-              xxhash64(col("_sh")): _*)).as("d")).head.getLong(0)
-          nSets * 20L >= nDocs * 19L // dup rate < 5%
+              xxhash64(col("_sh")): _*)).as("d")).head
+          val nDocs = probe.getLong(0)
+          val nSets = probe.getLong(1)
+          val skip = nSets * 20L >= nDocs * 19L // dup rate < 5%
+          System.err.println(s"[graft] jaccard dup-rate gate: docs=$nDocs " +
+            s"distinct=$nSets -> ${if (skip) "skip collapse" else "collapse"}")
+          skip
       }
       if (skipCollapse) {
         val base = all
@@ -192,6 +213,11 @@ object Dedup {
       val mapping = all.join(repTab, gKeys)
         .select(col(idCol).as("_m"), col("_rep"))
         .persist(Dedup.pairStorage)
+      // release the corpus-scale source cache once the two derived caches
+      // exist — every later read is off base or mapping (see
+      // collapsedContainmentPairs for the measured pressure rationale)
+      base.count(); mapping.count()
+      all.unpersist()
       try {
         val repPairs = jaccardPairsOn(base, idCol, bandCols, threshold,
           pairPredicate)
@@ -212,13 +238,20 @@ object Dedup {
           .join(sizes, "_rep")
           .select(col("_m").as(idCol), col("_m2").as(s"${idCol}_b"),
             lit(1.0).as("jaccard"))
-        // re-apply the predicate on member pairs: exact for within-group
-        // (the old pipeline evaluated it on actual ids), a no-op for
-        // cross-group under the collapseKeys homogeneity contract
+        // re-apply the predicate on member pairs AFTER least/greatest
+        // canonicalization, so it sees exactly the (doc_a < doc_b)
+        // orientation the legacy path evaluates at its candidate join —
+        // an orientation-dependent expression can't silently diverge
+        // between the two arms on the re-application. (Rep-level pruning
+        // inside jaccardPairsOn still evaluates the predicate at REP ids
+        // under rep ordering — sound because the collapseKeys contract
+        // below also requires symmetry in the two sides.)
         cross.unionAll(within)
+          .select(least(col(idCol), col(s"${idCol}_b")).as(idCol),
+            greatest(col(idCol), col(s"${idCol}_b")).as(s"${idCol}_b"),
+            col("jaccard"))
           .filter(pairPredicate.getOrElse(lit(true)))
-          .select(least(col(idCol), col(s"${idCol}_b")).as("doc_a"),
-            greatest(col(idCol), col(s"${idCol}_b")).as("doc_b"),
+          .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"),
             col("jaccard"))
           .localCheckpoint(true)
       } finally {
@@ -363,8 +396,14 @@ object Dedup {
       num: Int, den: Int, preHashed: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    // array_compact on the pre-hashed branch: drops null slots AND marks
+    // the element type non-null — the SortedIntersectCount verify kernel
+    // rejects containsNull=true (a null slot would read undefined), and a
+    // caller-supplied hash column (e.g. portableHash64, whose conv() chain
+    // is nullable-typed) legitimately carries the nullable marker with no
+    // actual nulls. The xxhash64 branch is containsNull=false already.
     val sh =
-      if (preHashed) array_sort(col(shingleCol))
+      if (preHashed) array_sort(array_compact(col(shingleCol)))
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
     // EXACT-DUPLICATE COLLAPSE (round-12: ContainmentDecomp measured the
     // sf4-replica wall 85% in the verify join over 181M candidates, and
@@ -390,18 +429,26 @@ object Dedup {
     // corpus is effectively all-distinct.
     // SPARK_GRAFT_COLLAPSE=force|off overrides the gate (A/B probes);
     // default: measure and decide
+    // ONE aggregate job for both stats — the scan doubles as the persist
+    // materialization (the r12 separate count()+countDistinct pair measured
+    // as fixed per-call overhead across the gated catalog queries)
     val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
       case Some("force") => false
       case Some("off") => true
       case _ =>
-        val nDocs = all.count()
-        val nSets = all.agg(countDistinct(xxhash64(col("_sh"))).as("d"))
-          .head.getLong(0)
-        nSets * 20L >= nDocs * 19L // dup rate < 5%
+        val probe = all.agg(count(lit(1)).as("n"),
+          countDistinct(xxhash64(col("_sh"))).as("d")).head
+        val skip = probe.getLong(1) * 20L >= probe.getLong(0) * 19L // <5% dup
+        System.err.println(s"[graft] containment dup-rate gate: " +
+          s"docs=${probe.getLong(0)} distinct=${probe.getLong(1)} -> " +
+          s"${if (skip) "skip collapse" else "collapse"}")
+        skip
     }
     if (skipCollapse) {
+      // NOT persisted: _n is one size() over the cached `all` — a second
+      // corpus-scale cache of near-identical array-heavy rows roughly
+      // doubled pair-family memory pressure on the 24g-sensitive heaps
       val base = all.withColumn("_n", size(col("_sh")))
-        .persist(Dedup.pairStorage)
       val ranked = dfOrderedPosts(base, idCol, Seq.empty)
         .persist(Dedup.pairStorage)
       try {
@@ -420,7 +467,7 @@ object Dedup {
             (col("_c").cast("double") / col("_n_a")).as("containment"))
           .localCheckpoint(true)
       } finally {
-        ranked.unpersist(); base.unpersist(); all.unpersist(): Unit
+        ranked.unpersist(); all.unpersist(): Unit
       }
     } else collapsedContainmentPairs(all, idCol, num, den)
   }
@@ -441,6 +488,14 @@ object Dedup {
     val mapping = all.join(repTab, "_sh")
       .select(col(idCol).as("_m"), col("_rep"))
       .persist(Dedup.pairStorage)
+    // materialize both derived caches NOW and release the corpus-scale
+    // source cache before the heavy candidate/verify stages — the r12
+    // shape held three near-identical array-heavy caches (all/base/
+    // mapping) until job end, tripling pair-family pressure on the
+    // 24g-sensitive heaps for no reuse (every later read is off base or
+    // mapping)
+    base.count(); mapping.count()
+    all.unpersist()
     // the rank-annotated postings feed BOTH sides of the candidate join
     // (query prefix + full index): persist them for the duration of the
     // (eager) checkpointed computation or the df-join + rank window would
@@ -514,7 +569,8 @@ object Dedup {
     */
   private[graft] def containmentCandidates(base: DataFrame, idCol: String,
       num: Int, den: Int, positional: Boolean = true,
-      rankedPosts: Option[DataFrame] = None): DataFrame = {
+      rankedPosts: Option[DataFrame] = None,
+      bucketedIndex: Boolean = true): DataFrame = {
     // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
     val ceilTn = ((col("_n") * num + (den - 1)) / den).cast("int")
     val prefixLen = col("_n") - ceilTn + 1
@@ -524,14 +580,55 @@ object Dedup {
     // both branches of the self-join (callers pass a persisted frame via
     // rankedPosts so the window genuinely runs once)
     val ranked = rankedPosts.getOrElse(dfOrderedPosts(base, idCol, Seq.empty))
-    val queryPosts = ranked.filter(col("_pos") <= prefixLen)
+    // LENGTH-BUCKETED INDEX PREFIX (round 13, the fresh-mode candidate
+    // floor probe). Bucket query docs by size octave k = ⌊log₂ n_a⌋; for
+    // every query in bucket k the overlap must reach o ≥ ⌈t·2ᵏ⌉, and the
+    // pair's FIRST shared element at index rank j satisfies
+    // o ≤ n_b − j + 1 (all shared elements sit at rank ≥ j on the index
+    // side once j is the first), so j ≤ n_b − ⌈t·2ᵏ⌉ + 1: the index posts
+    // only that rank prefix per query bucket. Lossless by the same
+    // first-shared-element lemma as the query prefix.
+    //
+    // SCOPE — be precise about what this can and cannot cut: the emitted
+    // candidate SET is IDENTICAL to the positional filter's (the bucket
+    // bound is the positional bound weakened from n_a to 2^⌊log₂ n_a⌋, so
+    // every match the bucket drops, the positional filter below drops
+    // too — PrefixFilterPropertySpec pins the equality). What moves is
+    // WHERE the pruning happens: the dropped matches are never GENERATED
+    // by the join (index postings above the per-octave cutoff never enter
+    // it), instead of being produced and then filtered — i.e. this trades
+    // per-octave replication of the index posting shuffle for the
+    // posting join's raw match-generation volume. It cannot shrink the
+    // post-filter distinct (the sf4-fresh 450M-row stage); that mass
+    // survives the positional bound itself. ⌊log₂ n⌋ is integer-exact
+    // (length(bin(n))−1) — no float log whose rounding could flip a
+    // bucket (an under-assigned bucket would still be lossless, but the
+    // rule should not depend on that).
+    val queryPosts0 = ranked.filter(col("_pos") <= prefixLen)
       .select(col(idCol).as("_a"), col("_h"),
         col("_pos").as("_pos_a"), col("_n").as("_n_a"))
-    val indexPosts = ranked.select(col(idCol).as("_b"), col("_h"),
+    val indexPosts0 = ranked.select(col(idCol).as("_b"), col("_h"),
       col("_pos").as("_pos_b"), col("_n").as("_n_b"))
+    val (queryPosts, indexPosts, joinKeys) =
+      if (!bucketedIndex) (queryPosts0, indexPosts0, Seq("_h"))
+      else {
+        val qb = (length(bin(col("_n_a"))) - 1).cast("int")
+        val q = queryPosts0.withColumn("_qb", qb)
+        // live octaves: tiny (≤ 64 rows) — broadcast to expand each index
+        // posting into exactly the octaves whose prefix keeps it
+        val octaves = q.select(col("_qb")).distinct()
+        // ⌈t·2ᵏ⌉ integer-exact; SQL shiftleft (the Scala helper only takes
+        // a literal shift). Exact-integer double division, same pattern as
+        // ceilTn above.
+        val minOverlap = ((expr("shiftleft(CAST(1 AS BIGINT), _qb)") * num +
+          (den - 1)) / den).cast("long")
+        val ix = indexPosts0.join(broadcast(octaves),
+          col("_pos_b") <= col("_n_b") - minOverlap + 1)
+        (q, ix, Seq("_h", "_qb"))
+      }
     val ubound = lit(1) +
       least(col("_n_a") - col("_pos_a"), col("_n_b") - col("_pos_b"))
-    queryPosts.join(indexPosts, "_h")
+    queryPosts.join(indexPosts, joinKeys)
       .filter(col("_a") =!= col("_b"))
       .filter(if (positional) ubound * den >= col("_n_a") * num
         else lit(true))

@@ -33,14 +33,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
+  // containsNull = false REQUIRED: the merge walk reads getLong on every
+  // slot, and a null slot would silently read an undefined value —
+  // diverging from size(array_intersect) null semantics. Every internal
+  // dedup frame is xxhash64/shingle_hashes-derived (containsNull = false
+  // by those expressions' dataType), so only an external SQL caller can
+  // hit this, and they get an analysis-time error instead of wrong counts.
   private def ok(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, containsNull) => !containsNull
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> columns, got " +
+      s"$prettyName requires two array<bigint> columns with non-null " +
+        s"elements, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
   override def nullSafeEval(l: Any, r: Any): Any = {

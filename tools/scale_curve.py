@@ -119,12 +119,21 @@ def main():
                 continue
             exp = (math.log(pts[-1][1] / pts[0][1]) /
                    math.log(pts[-1][0] / pts[0][0]))
-            ts = [runs[f].get(q) for f in factors]
+            # cells use the SAME t > 0 predicate as the fit (load_merged
+            # already drops error markers, so this is belt-and-braces):
+            # a value absent from the exponent must not silently appear
+            # as a table cell
+            ts = [t if (t := runs[f].get(q)) is not None and t > 0 else None
+                  for f in factors]
             rows.append((exp, q, ts))
+            # span: the factor range this query's exponent was actually
+            # fitted on — per-query fits may cover different octaves
+            # within one table (e.g. an sf8 subset artifact)
             mode_out[q] = dict(
                 {f"s{f}": round(t, 3) for f, t in zip(factors, ts)
                  if t is not None},
-                exponent=round(exp, 2))
+                exponent=round(exp, 2),
+                span=f"{pts[0][0]}x-{pts[-1][0]}x")
         # explicit key: NaN exponents sort LAST deterministically (plain
         # tuple sort left them in arbitrary positions — NaN comparisons
         # are always False — and ties fell through to comparing ts lists)
