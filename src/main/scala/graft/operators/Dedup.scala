@@ -357,6 +357,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Byte estimate of an (id, _sh, _n) array side — drives the verify
+    * join strategy choice. One tiny aggregate over the (cached) frame:
+    * rows x fixed row overhead + total array elements x 8.
+    */
+  private def arraySideBytes(base: DataFrame): Long = {
+    val st = base.agg(count(lit(1)).as("n"), sum(col("_n")).as("p")).head
+    st.getLong(0) * 24L + (if (st.isNullAt(1)) 0L else st.getLong(1) * 8L)
+  }
+
+  /** VERIFY-JOIN STRATEGY (round 13, measured on the dense-df corpora):
+    * the candidate stream can be 10^8-10^9 skinny rows, and ANY plan that
+    * exchanges or sorts the FIRST array-join's output materializes
+    * ~candidates x array-bytes — sf4 containment wrote 40+ GB of wide
+    * shuffle before being killed, under both SMJ (sorts the wide stream
+    * for join 2) and plain SHUFFLE_HASH (exchanges it). When the array
+    * side fits a broadcast, BOTH lookups pipeline around the unsorted
+    * candidate stream inside one stage and the wide rows never hit disk
+    * or the network — that is the right plan at any candidate volume.
+    * Past the cap (384 MB default, SPARK_GRAFT_VERIFY_BCAST_CAP to tune;
+    * a 100 TB corpus's array side does not broadcast) fall back to
+    * SHUFFLE_HASH: the arrays stay on the build side, the stream is never
+    * SORTED, and the one wide exchange is linear in candidates — banding
+    * is what must bound candidates at that scale, not the join.
+    */
+  private def verifyBcastCap: Long =
+    sys.env.get("SPARK_GRAFT_VERIFY_BCAST_CAP").map(_.toLong)
+      .getOrElse(384L << 20)
+
+  private def verifySide(side: DataFrame, sideBytes: Long): DataFrame =
+    if (sideBytes <= verifyBcastCap) broadcast(side)
+    else side.hint("SHUFFLE_HASH")
+
   private def jaccardPairsOn(base: DataFrame, idCol: String,
       bandCols: Seq[String], threshold: Double,
       pairPredicate: Option[Column] = None): DataFrame = {
@@ -365,7 +397,9 @@ object Dedup {
       pairPredicate)
     val aSide = base.select(col(idCol), col("_sh"), col("_n"))
     val bSide = aSide.toDF(s"${idCol}_b", "_sh_b", "_n_b")
-    candidates.join(aSide, idCol).join(bSide, s"${idCol}_b")
+    val sideBytes = arraySideBytes(base)
+    candidates.join(verifySide(aSide, sideBytes), idCol)
+      .join(verifySide(bSide, sideBytes), s"${idCol}_b")
       .filter(col("_n_b") >= col("_n") * threshold &&
         col("_n") >= col("_n_b") * threshold)
       // _sh is sorted-distinct by construction (see the callers'
@@ -445,10 +479,18 @@ object Dedup {
         skip
     }
     if (skipCollapse) {
-      // NOT persisted: _n is one size() over the cached `all` — a second
-      // corpus-scale cache of near-identical array-heavy rows roughly
-      // doubled pair-family memory pressure on the 24g-sensitive heaps
       val base = all.withColumn("_n", size(col("_sh")))
+        .persist(Dedup.pairStorage)
+      // single-cache discipline: `all` exists only to feed the gate probe
+      // and `base` — materialize base NOW and drop the source cache, so
+      // exactly ONE corpus-scale array-heavy cache lives through the
+      // candidate/verify stages. (An attempt to skip base's persist
+      // entirely and read through `all` re-planned the ranked-postings
+      // materialization into a catastrophic sort spill at sf4 — the
+      // persist boundary is ALSO what keeps the downstream join plans the
+      // measured r12 shapes; do not remove it.)
+      base.count()
+      all.unpersist()
       val ranked = dfOrderedPosts(base, idCol, Seq.empty)
         .persist(Dedup.pairStorage)
       try {
@@ -457,7 +499,11 @@ object Dedup {
         val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
           col("_n").as("_n_a"))
         val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
-        candidates.join(aSide, "_a").join(bSide, "_b")
+        // strategy: see verifySide — broadcast when the arrays fit,
+        // SHUFFLE_HASH past the cap (never sort the candidate stream)
+        val sideBytes = arraySideBytes(base)
+        candidates.join(verifySide(aSide, sideBytes), "_a")
+          .join(verifySide(bSide, sideBytes), "_b")
           .withColumn("_c",
             graft.plans.SortedIntersectCount.count(col("_sh_a"), col("_sh_b")))
           .filter(col("_c") * den >= col("_n_a") * num)
@@ -467,7 +513,7 @@ object Dedup {
             (col("_c").cast("double") / col("_n_a")).as("containment"))
           .localCheckpoint(true)
       } finally {
-        ranked.unpersist(); all.unpersist(): Unit
+        ranked.unpersist(); base.unpersist(); all.unpersist(): Unit
       }
     } else collapsedContainmentPairs(all, idCol, num, den)
   }
@@ -513,7 +559,11 @@ object Dedup {
       // _sh is sorted-distinct by construction, so the two-pointer count
       // IS size(array_intersect) without the per-pair hash set + the
       // materialized intersection array the old verify allocated 181M×
-      val repPairs = candidates.join(aSide, "_a").join(bSide, "_b")
+      // strategy: see verifySide — broadcast when the arrays fit,
+      // SHUFFLE_HASH past the cap (never sort the candidate stream)
+      val sideBytes = arraySideBytes(base)
+      val repPairs = candidates.join(verifySide(aSide, sideBytes), "_a")
+        .join(verifySide(bSide, sideBytes), "_b")
         .withColumn("_c",
           graft.plans.SortedIntersectCount.count(col("_sh_a"), col("_sh_b")))
         .filter(col("_c") * den >= col("_n_a") * num)
@@ -570,7 +620,7 @@ object Dedup {
   private[graft] def containmentCandidates(base: DataFrame, idCol: String,
       num: Int, den: Int, positional: Boolean = true,
       rankedPosts: Option[DataFrame] = None,
-      bucketedIndex: Boolean = true): DataFrame = {
+      bucketedIndex: Boolean = false): DataFrame = {
     // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
     val ceilTn = ((col("_n") * num + (den - 1)) / den).cast("int")
     val prefixLen = col("_n") - ceilTn + 1
@@ -604,6 +654,19 @@ object Dedup {
     // (length(bin(n))−1) — no float log whose rounding could flip a
     // bucket (an under-assigned bucket would still be lossless, but the
     // rule should not depend on that).
+    //
+    // MEASURED NEGATIVE RESULT (round 13) — default OFF. On the r13 scale
+    // corpora the trade LOSES catastrophically: document sizes span
+    // several live octaves, and every SMALL octave's cutoff
+    // (n_b − ⌈t·2ᵏ⌉ + 1 with 2ᵏ ≪ n_b) keeps ~all index postings, so
+    // each such octave adds a near-full copy of the posting table to the
+    // (_h, _qb) join's sort — sf4-replica containment went 25.5 s →
+    // 669 s FAILED (SPILL_OUT_OF_MEMORY: the expanded sort spilled past
+    // the box's free disk). The win case is a size-HOMOGENEOUS corpus
+    // (1-2 live octaves, where the single live cutoff prunes ~70% of
+    // index postings); callers with that shape can opt in explicitly.
+    // The honest general fix for the fresh-mode candidate floor remains
+    // open: the floor is the post-positional distinct mass itself.
     val queryPosts0 = ranked.filter(col("_pos") <= prefixLen)
       .select(col(idCol).as("_a"), col("_h"),
         col("_pos").as("_pos_a"), col("_n").as("_n_a"))
