@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // published canary-loop result — keeps the JIT from eliding the loop
+  @volatile private var canarySink: Long = 0L
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +36,9 @@ object Bench {
       }
     }
     val loadStart = loadavg()
+    // arm the loaded-map guard (below) from the same post-wait reading
+    // that loadavg_start records
+    val loadStartMax = loadMax()
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -54,6 +59,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
+    // MACHINE-STATE CANARY (round 14): identical code+data measured
+    // 141.0 / 164.5 / 170.2 s across three same-day runs of the r13 map —
+    // ±20% epoch-to-epoch box variance with nothing in the artifact to
+    // normalize by, and two consecutive rounds of committed-map "drift"
+    // were adjudicated machine-state by hand-run A/Bs. Record the wall
+    // time of (a) a fixed single-threaded CPU loop and (b) a fixed tiny
+    // Spark job, before AND after the catalog, so a cross-artifact
+    // comparison can divide out the box's speed instead of arguing about
+    // it. The loop is pure register arithmetic (FNV-mix over a fixed
+    // iteration count, result published so JIT can't elide it); the Spark
+    // job exercises scheduler+codegen across all configured threads.
+    def canaryCpuMs(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 200000000L) {
+        h ^= i; h *= 0x100000001B3L; h ^= (h >>> 33)
+        i += 1
+      }
+      canarySink = h
+      (System.nanoTime() - t0) / 1e6
+    }
+    def canarySparkMs(): Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64 => fxx, col => fcol}
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .select(fsum(fxx(fcol("id")))).head()
+      (System.nanoTime() - t0) / 1e6
+    }
+    val canaryCpuStart = canaryCpuMs()
+    val canarySparkStart = canarySparkMs()
+    System.err.println(f"[bench] canary start: cpu=${canaryCpuStart}%.0f ms " +
+      f"spark=${canarySparkStart}%.0f ms")
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // normalize before comparing paths: a trailing slash, relative path,
@@ -299,15 +337,39 @@ object Bench {
     // probe (e.g. SPARK_GRAFT_COLLAPSE=force) must be self-describing, not
     // reconstructed from shell history (the r12 sf4 run7 failure was
     // unadjudicable precisely because the env wasn't recorded)
+    // full JSON string escaping — backslash, quote, AND control chars
+    // (< 0x20): an env value containing a newline/tab would otherwise
+    // emit invalid JSON into the artifact this block exists to make
+    // self-describing. Applied to keys and values uniformly.
+    def jstr(s: String): String = {
+      val b = new StringBuilder
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
     val graftEnv = sys.env.toSeq
       .filter(_._1.startsWith("SPARK_GRAFT_")).sortBy(_._1)
-      .map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
+      .mkString("{", ",", "}")
+    val canaryCpuEnd = canaryCpuMs()
+    val canarySparkEnd = canarySparkMs()
+    System.err.println(f"[bench] canary end: cpu=${canaryCpuEnd}%.0f ms " +
+      f"spark=${canarySparkEnd}%.0f ms")
+    val canaryJson =
+      f"""{"cpu_ms_start":${canaryCpuStart}%.1f,"spark_ms_start":${canarySparkStart}%.1f,""" +
+      f""""cpu_ms_end":${canaryCpuEnd}%.1f,"spark_ms_end":${canarySparkEnd}%.1f}"""
     val env =
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       s""""cpus":$cpus,"repeat":$repeat,"load_waited":$loadWaited,""" +
       s""""retimed":$retimedJson,"graft_env":$graftEnv,""" +
+      s""""canary":$canaryJson,""" +
       s""""tier_skipped":${tierSkipped.toSeq.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullLine =
@@ -323,12 +385,25 @@ object Bench {
     // a SPARK_GRAFT_ONLY subset run must never replace a full map (at ANY
     // sf) — it would shrink that sf's committed/reference universe
     val partial = if (only.isDefined) "_partial" else ""
+    // LOADED-MAP GUARD (round 14): the committed BENCH_FULL.json is the
+    // idle reference map that arms the retime backstop AND the judge's
+    // round-over-round comparison — a run that STARTED on a loaded box
+    // (post-wait max(1m,5m) loadavg above the gate) must not overwrite
+    // it. Divert such a run to BENCH_FULL.loaded.json: the numbers stay
+    // available, the idle map stays honest. (r13's working tree carried a
+    // loadavg-13 driver run sitting where the idle map belonged.)
+    val loaded =
+      if (loadStartMax > loadGate && only.isEmpty) {
+        System.err.println(f"[bench] loadavg_start max=$loadStartMax%.2f > " +
+          f"$loadGate%.2f — writing .loaded artifact, idle map preserved")
+        ".loaded"
+      } else ""
     val fullOut =
-      if (canon(sfDir) == defaultSf) s"BENCH_FULL$partial.json"
+      if (canon(sfDir) == defaultSf) s"BENCH_FULL$partial$loaded.json"
       else {
         val base = java.nio.file.Paths.get(canon(sfDir)).getFileName.toString
           .replaceAll("[^A-Za-z0-9_.-]", "_")
-        s"BENCH_FULL_$base$partial.json"
+        s"BENCH_FULL_$base$partial$loaded.json"
       }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),

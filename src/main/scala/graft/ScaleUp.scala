@@ -201,14 +201,19 @@ object ScaleUp {
               d => d.cast("float")),
             (x, d) => x * (lit(1.0f) + lit(0.002f * i)) +
               lit(0.001f * i) * pmod(d, lit(5.0f)))
-        df.withColumn("vec_id", $"vec_id" + lit(i * vK))
-          .withColumn("embedding",
-            // dup mode: verbatim vectors on the same 35% slot rule —
-            // exact-duplicate twins for the embedding dedup arms
+        // dup mode: verbatim vectors on the same 35% slot rule — exact-
+        // duplicate twins for the embedding dedup arms. The slot hash
+        // MUST read the PRE-shift vec_id (the embedding withColumn runs
+        // before the vec_id shift below), matching the text branch's
+        // (doc, replica) rule — the r13 shape shifted first and hashed
+        // the shifted id, so the verbatim slots were uncorrelated
+        // between documents and embeddings
+        df.withColumn("embedding",
             if (dup)
               when(pmod(xxhash64($"vec_id", lit(i)), lit(100)) < 35,
                 $"embedding").otherwise(perturbed)
             else perturbed)
+          .withColumn("vec_id", $"vec_id" + lit(i * vK))
       }
     }, "embeddings")
 

@@ -81,6 +81,87 @@ object DataOpsQueries {
       .orderBy($"doc_sub", $"doc_sup")
   }
 
+  /** BANDED containment — the corpus-scale production arm for
+    * high-entropy corpora ([[Dedup.containmentPairsBanded]]): each query
+    * posts only its 8 rarest prefix shingles, stop-shingles (df over the
+    * adaptive cap) are dropped from both sides, survivors verified
+    * exactly. Precision 1, recall measured by
+    * [[qContainmentEvalSampled]]. The oracle replays the distinct-set
+    * collapse, the (df, h) rarest-first ranking, both caps, and the
+    * member expansion in SQL.
+    */
+  def qDedupContainmentBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairsBanded(withHashedShingles(s, dir), "doc_id", "sh",
+      num = 4, den = 5, preHashed = true, queryCap = 8)
+      .orderBy($"doc_sub", $"doc_sup")
+  }
+
+  /** Banded-containment recall measurement under the deterministic 25%
+    * id-hash sample — the q_minhash_eval_sampled protocol: both arms run
+    * inside the sample (the exact arm's quadratic candidate mass drops
+    * sample², which is what makes ground truth affordable at corpus
+    * scale), and banded ⊆ exact (same threshold, exact verify of a
+    * candidate subset) so the miss count is a plain anti-join.
+    */
+  def qContainmentEvalSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
+      .localCheckpoint(true)
+    val exact = Dedup.containmentPairs(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true)
+      .select($"doc_sub", $"doc_sup")
+    val banded = Dedup.containmentPairsBanded(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true, queryCap = 8)
+      .select($"doc_sub", $"doc_sup")
+    val nE = exact.agg(count(lit(1)).as("n_exact_sample"))
+    val nB = banded.agg(count(lit(1)).as("n_banded_sample"))
+    val nM = exact.join(banded, Seq("doc_sub", "doc_sup"), "left_anti")
+      .agg(count(lit(1)).as("n_missed_sample"))
+    nE.crossJoin(nB).crossJoin(nM)
+      .select($"n_exact_sample", $"n_banded_sample", $"n_missed_sample",
+        when($"n_exact_sample" === 0, lit(null).cast("double"))
+          .otherwise(($"n_exact_sample" - $"n_missed_sample").cast("double") /
+            $"n_exact_sample").as("recall_est"))
+  }
+
+  /** LSH containment — the corpus-scale production arm for DENSE-df
+    * corpora ([[Dedup.containmentPairsLsh]]): OPH MinHash band-bucket
+    * candidates (32 bands × 2 rows — the LSH-Ensemble Jaccard floor
+    * t/(1+R−t) at the R = 2 size-ratio horizon), exact directed verify,
+    * recall measured by [[qContainmentLshEvalSampled]].
+    */
+  def qDedupContainmentLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairsLsh(withHashedShingles(s, dir), "doc_id", "sh",
+      num = 4, den = 5, preHashed = true)
+      .orderBy($"doc_sub", $"doc_sup")
+  }
+
+  /** LSH-containment recall under the deterministic 25% id-hash sample —
+    * same protocol as [[qContainmentEvalSampled]] for the LSH arm.
+    */
+  def qContainmentLshEvalSampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
+      .localCheckpoint(true)
+    val exact = Dedup.containmentPairs(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true)
+      .select($"doc_sub", $"doc_sup")
+    val lsh = Dedup.containmentPairsLsh(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true)
+      .select($"doc_sub", $"doc_sup")
+    val nE = exact.agg(count(lit(1)).as("n_exact_sample"))
+    val nB = lsh.agg(count(lit(1)).as("n_lsh_sample"))
+    val nM = exact.join(lsh, Seq("doc_sub", "doc_sup"), "left_anti")
+      .agg(count(lit(1)).as("n_missed_sample"))
+    nE.crossJoin(nB).crossJoin(nM)
+      .select($"n_exact_sample", $"n_lsh_sample", $"n_missed_sample",
+        when($"n_exact_sample" === 0, lit(null).cast("double"))
+          .otherwise(($"n_exact_sample" - $"n_missed_sample").cast("double") /
+            $"n_exact_sample").as("recall_est"))
+  }
+
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minhashLshPairs(withHashedShingles(s, dir), "doc_id", "sh",
@@ -766,6 +847,10 @@ object DataOpsQueries {
     "q_dedup_fingerprint" -> qDedupFingerprint,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
+    "q_dedup_containment_banded" -> qDedupContainmentBanded,
+    "q_containment_eval_sampled" -> qContainmentEvalSampled,
+    "q_dedup_containment_lsh" -> qDedupContainmentLsh,
+    "q_containment_lsh_eval_sampled" -> qContainmentLshEvalSampled,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_minhash_eval" -> qMinhashEval,
     "q_minhash_eval_sampled" -> qMinhashEvalSampled,
@@ -894,6 +979,111 @@ object DataOpsQueries {
        |    JOIN ne y ON c.doc_b = y.doc_id
        |  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
        |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.5)""".stripMargin
+  /** DuckDB twin of the banded containment chain
+    * ([[Dedup.containmentPairsBanded]], queryCap 8 / adaptive dfCap):
+    * distinct-set collapse (group by the SORTED hash list, rep = min id),
+    * document frequency over reps, per-rep rarest-first (df, h) ranking,
+    * query prefix `n − ceil(4n/5) + 1` capped at 8 postings, stop-shingle
+    * df cap `greatest(256, reps // 64)` on both sides, exact intersect
+    * verify of survivors, then member expansion (cross-group pairs
+    * inherit the rep pair's counts; within-group pairs are identity
+    * containment, both directions, empty sets excluded). CTEs end in
+    * `bpairs(doc_sub, doc_sup, common, size_sub, containment)`.
+    * `docFilter` restricts the corpus (the sampled eval arm).
+    */
+  /** Shared distinct-set collapse prelude (rep = min id per sorted hash
+    * list, member→rep mapping) for the banded and LSH containment oracle
+    * chains; ends in `bbase(doc_id, hs, n)` + `bm(doc_id, rep)`.
+    */
+  private def containmentCollapseSql(docFilter: String) =
+    s"""bhs0 AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(${shingleSql(W)}, s -> ${md("s")}))) AS hs
+       |  FROM documents $docFilter),
+       |brept AS (SELECT hs, MIN(doc_id) AS rep FROM bhs0 GROUP BY hs),
+       |bbase AS (SELECT rep AS doc_id, hs, len(hs) AS n FROM brept),
+       |bm AS (SELECT bhs0.doc_id, brept.rep FROM bhs0 JOIN brept USING (hs))""".stripMargin
+
+  /** Member expansion of rep-level directed pairs `rp(a, b, common, n_a)`
+    * (cross-group pairs inherit the rep pair's counts; within-group pairs
+    * are identity containment, both directions, empty sets excluded) —
+    * the SQL twin of the collapse expansion in
+    * [[Dedup.containmentPairs]]'s collapse arm.
+    */
+  private def containmentExpandSql(rp: String, out: String) =
+    s"""$out AS (
+       |  SELECT msub.doc_id AS doc_sub, msup.doc_id AS doc_sup,
+       |    CAST(common AS BIGINT) AS common, CAST(n_a AS BIGINT) AS size_sub,
+       |    CAST(common AS DOUBLE) / n_a AS containment
+       |  FROM $rp JOIN bm msub ON msub.rep = $rp.a
+       |    JOIN bm msup ON msup.rep = $rp.b
+       |  UNION ALL
+       |  SELECT x.doc_id AS doc_sub, y.doc_id AS doc_sup,
+       |    CAST(bb.n AS BIGINT) AS common, CAST(bb.n AS BIGINT) AS size_sub,
+       |    1.0 AS containment
+       |  FROM bm x JOIN bm y ON x.rep = y.rep AND x.doc_id <> y.doc_id
+       |  JOIN bbase bb ON bb.doc_id = x.rep WHERE bb.n > 0)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.containmentPairsLsh]] (64-hash OPH, 32 bands
+    * × 2 rows): the same portable OPH signature chain as
+    * [[minhashChainSql]] but over the COLLAPSED rep corpus, band-bucket
+    * candidates in both directions, exact directed verify at C ≥ 4/5,
+    * then member expansion. CTEs end in `lpairs`.
+    */
+  private def lshContainmentChainSql(docFilter: String) =
+    s"""${containmentCollapseSql(docFilter)},
+       |lne AS (SELECT doc_id, hs, n FROM bbase WHERE n > 0),
+       |lsig0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      list_min(list_filter(hs, h -> h % 64 = i))) AS m
+       |  FROM lne),
+       |lsig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      (list_filter(list_transform(range(0, 64), j ->
+       |         m[CAST((i + j) % 64 + 1 AS BIGINT)]),
+       |        v -> v IS NOT NULL))[1]) AS sg
+       |  FROM lsig0),
+       |lbanded AS (
+       |  SELECT doc_id, t.bb,
+       |    list_slice(sg, CAST(t.bb*2+1 AS BIGINT), CAST(t.bb*2+2 AS BIGINT)) AS bk
+       |  FROM lsig CROSS JOIN range(0, 32) t(bb)),
+       |lund AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM lbanded a JOIN lbanded b ON a.bb = b.bb AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id),
+       |lcand AS (SELECT a, b FROM lund UNION ALL SELECT b AS a, a AS b FROM lund),
+       |lrp AS (
+       |  SELECT a, b, len(list_intersect(ba.hs, bz.hs)) AS common, ba.n AS n_a
+       |  FROM lcand JOIN bbase ba ON ba.doc_id = lcand.a
+       |    JOIN bbase bz ON bz.doc_id = lcand.b
+       |  WHERE len(list_intersect(ba.hs, bz.hs)) * 5 >= ba.n * 4),
+       |${containmentExpandSql("lrp", "lpairs")}""".stripMargin
+
+  private def bandedContainmentChainSql(docFilter: String) =
+    s"""${containmentCollapseSql(docFilter)},
+       |bdc AS (SELECT greatest(256, (SELECT COUNT(*) FROM bbase) // 64) AS dfcap),
+       |be AS (SELECT doc_id, unnest(hs) AS h FROM bbase),
+       |bdft AS (SELECT h, COUNT(*) AS df FROM be GROUP BY h),
+       |br AS (
+       |  SELECT be.doc_id, be.h, bdft.df, bbase.n,
+       |    row_number() OVER (PARTITION BY be.doc_id
+       |      ORDER BY bdft.df, be.h) AS pos
+       |  FROM be JOIN bdft USING (h) JOIN bbase USING (doc_id)),
+       |bq AS (
+       |  SELECT doc_id, h FROM br, bdc
+       |  WHERE pos <= least(n - (n * 4 + 4) // 5 + 1, 8) AND df <= dfcap),
+       |bix AS (SELECT doc_id, h FROM br, bdc WHERE df <= dfcap),
+       |bcand AS (
+       |  SELECT DISTINCT bq.doc_id AS a, bix.doc_id AS b
+       |  FROM bq JOIN bix USING (h) WHERE bq.doc_id <> bix.doc_id),
+       |brp AS (
+       |  SELECT a, b, len(list_intersect(ba.hs, bz.hs)) AS common, ba.n AS n_a
+       |  FROM bcand JOIN bbase ba ON ba.doc_id = a JOIN bbase bz ON bz.doc_id = b
+       |  WHERE len(list_intersect(ba.hs, bz.hs)) * 5 >= ba.n * 4),
+       |${containmentExpandSql("brp", "bpairs")}""".stripMargin
+
   private def shingleSql(w: String) =
     s"list_distinct(CASE WHEN len($w) >= 3 THEN " +
       s"list_transform(range(1, len($w)-1), i -> $w[i]||' '||$w[i+1]||' '||$w[i+2]) " +
@@ -1003,6 +1193,60 @@ object DataOpsQueries {
          |FROM p JOIN sz ON p.doc_sub = sz.doc_id
          |WHERE common * 5 >= sz.n * 4
          |ORDER BY doc_sub, doc_sup""".stripMargin,
+    "q_dedup_containment_banded" ->
+      s"""WITH ${bandedContainmentChainSql("")}
+         |SELECT doc_sub, doc_sup, common, size_sub, containment
+         |FROM bpairs ORDER BY doc_sub, doc_sup""".stripMargin,
+    "q_dedup_containment_lsh" ->
+      s"""WITH ${lshContainmentChainSql("")}
+         |SELECT doc_sub, doc_sup, common, size_sub, containment
+         |FROM lpairs ORDER BY doc_sub, doc_sup""".stripMargin,
+    "q_containment_lsh_eval_sampled" ->
+      s"""WITH ${lshContainmentChainSql(
+             "WHERE " + idSampleSql("doc_id"))},
+         |ee AS (SELECT doc_id, unnest(hs) AS h FROM bhs0),
+         |ep AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS c
+         |  FROM ee a JOIN ee b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |esz AS (SELECT doc_id, len(hs) AS n FROM bhs0),
+         |exact AS (
+         |  SELECT doc_sub, doc_sup FROM ep JOIN esz ON ep.doc_sub = esz.doc_id
+         |  WHERE c * 5 >= esz.n * 4),
+         |cnt AS (
+         |  SELECT (SELECT COUNT(*) FROM exact) AS n_exact_sample,
+         |    (SELECT COUNT(*) FROM lpairs) AS n_lsh_sample,
+         |    (SELECT COUNT(*) FROM exact e LEFT JOIN lpairs p
+         |       ON e.doc_sub = p.doc_sub AND e.doc_sup = p.doc_sup
+         |     WHERE p.doc_sub IS NULL) AS n_missed_sample)
+         |SELECT n_exact_sample, n_lsh_sample, n_missed_sample,
+         |  CASE WHEN n_exact_sample = 0 THEN NULL
+         |    ELSE CAST(n_exact_sample - n_missed_sample AS DOUBLE)
+         |      / n_exact_sample END AS recall_est
+         |FROM cnt""".stripMargin,
+    "q_containment_eval_sampled" ->
+      s"""WITH ${bandedContainmentChainSql(
+             "WHERE " + idSampleSql("doc_id"))},
+         |ee AS (SELECT doc_id, unnest(hs) AS h FROM bhs0),
+         |ep AS (
+         |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS c
+         |  FROM ee a JOIN ee b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |esz AS (SELECT doc_id, len(hs) AS n FROM bhs0),
+         |exact AS (
+         |  SELECT doc_sub, doc_sup FROM ep JOIN esz ON ep.doc_sub = esz.doc_id
+         |  WHERE c * 5 >= esz.n * 4),
+         |cnt AS (
+         |  SELECT (SELECT COUNT(*) FROM exact) AS n_exact_sample,
+         |    (SELECT COUNT(*) FROM bpairs) AS n_banded_sample,
+         |    (SELECT COUNT(*) FROM exact e LEFT JOIN bpairs p
+         |       ON e.doc_sub = p.doc_sub AND e.doc_sup = p.doc_sup
+         |     WHERE p.doc_sub IS NULL) AS n_missed_sample)
+         |SELECT n_exact_sample, n_banded_sample, n_missed_sample,
+         |  CASE WHEN n_exact_sample = 0 THEN NULL
+         |    ELSE CAST(n_exact_sample - n_missed_sample AS DOUBLE)
+         |      / n_exact_sample END AS recall_est
+         |FROM cnt""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH ${minhashChainSql(W)}
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs

@@ -311,7 +311,7 @@ object Dedup {
       // the posting-join shuffle to the tiny shared-hash subset.
       .filter(col("_df") >= 2)
       .select((bandCols.map(col) :+ col(idCol)) :+ col("_n") :+
-        col("_h") :+ col("_pos"): _*)
+        col("_h") :+ col("_pos") :+ col("_df"): _*)
   }
 
   /** Candidate pairs for the symmetric-Jaccard posting join — exposed
@@ -385,8 +385,19 @@ object Dedup {
     sys.env.get("SPARK_GRAFT_VERIFY_BCAST_CAP").map(_.toLong)
       .getOrElse(384L << 20)
 
+  /** Heap guard on top of the cap: BOTH verify sides broadcast
+    * simultaneously and the in-memory HashedRelation runs ~1.5-3x the
+    * raw estimate (UnsafeRow + relation overhead), so require
+    * 2 x sideBytes x 3 to fit in a quarter of the heap before
+    * broadcasting. On the 48 g bench driver this never binds (the 384 MB
+    * cap does); on the default 8 g driver it lowers the effective
+    * per-side bound to ~341 MB, so two near-cap broadcasts can't OOM
+    * instead of falling back — the same heap-tier pattern as
+    * [[pairStorage]].
+    */
   private def verifySide(side: DataFrame, sideBytes: Long): DataFrame =
-    if (sideBytes <= verifyBcastCap) broadcast(side)
+    if (sideBytes <= verifyBcastCap &&
+        sideBytes * 6L <= Runtime.getRuntime.maxMemory / 4L) broadcast(side)
     else side.hint("SHUFFLE_HASH")
 
   private def jaccardPairsOn(base: DataFrame, idCol: String,
@@ -518,11 +529,109 @@ object Dedup {
     } else collapsedContainmentPairs(all, idCol, num, den)
   }
 
-  /** The collapse arm of [[containmentPairs]] — only entered when the
-    * dup-rate gate measured ≥ 5% exact-duplicate sets.
+  /** BANDED containment near-dup pairs — the corpus-scale production arm
+    * of [[containmentPairs]] for high-entropy corpora (round 14; the
+    * exact arm's fresh-mode candidate mass is provably the post-filter
+    * floor, SURVEY §5n-2/§5o-7, and measured e≈1.8 at 40×).
+    *
+    * Same directed semantics (C(A,B) = |A∩B|/|A| ≥ num/den, pairs over
+    * the distinct-set corpus expanded to members), but the candidate
+    * join is BANDED instead of lossless: each query posts only its
+    * `queryCap` rarest prefix shingles, and shingles in more than
+    * `dfCap` documents are dropped from both sides (stop-shingle rule).
+    * Candidates ≤ docs × queryCap × dfCap — linear in the corpus — and
+    * every surviving pair is verified EXACTLY, so precision is 1 and
+    * only recall is approximate. Recall is measured, never assumed:
+    * `q_containment_eval_sampled` runs both arms inside the
+    * deterministic 25% id-sample and reports the recall estimate (the
+    * q_minhash_eval_sampled protocol).
+    *
+    * Always runs the exact-duplicate collapse (no gate): banded
+    * semantics are DEFINED over the distinct-set corpus, so document
+    * frequency — and with it the banding itself — cannot be inflated by
+    * exact duplicates (a boilerplate doc duplicated 10⁹ times at 100 TB
+    * must not push its own shingles over the stop-shingle cap), and
+    * within-group pairs (C = 1.0 by identity) are emitted exactly with
+    * zero recall loss. `dfCap = 0` resolves adaptively from the
+    * measured distinct-set count.
+    */
+  def containmentPairsBanded(docs: DataFrame, idCol: String,
+      shingleCol: String, num: Int, den: Int, preHashed: Boolean = false,
+      queryCap: Int = 8, dfCap: Long = 0L): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    require(queryCap > 0, "queryCap must be positive")
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    val sh =
+      if (preHashed) array_sort(array_compact(col(shingleCol)))
+      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+    val all = docs.select(col(idCol), sh.as("_sh"))
+      .persist(Dedup.pairStorage)
+    collapsedContainmentPairs(all, idCol, num, den,
+      caps = Some((queryCap, dfCap)))
+  }
+
+  /** LSH containment near-dup pairs — the corpus-scale production arm
+    * for DENSE-df corpora (round 14). The measured failure of both exact
+    * and df-capped postings on such corpora: the shingles that identify
+    * true pairs have df proportional to the corpus (df/N constant), so
+    * ANY posting join on raw shingles carries candidate groups ∝ N per
+    * posting — quadratic total — while a fixed df cap loses the true
+    * pairs entirely once their shingles outgrow it (measured cliff:
+    * recall 1.0 → 0.05 from sf2f to sf4f at dfCap 256, SURVEY §5p).
+    *
+    * The LSH-Ensemble reading (Zhu et al., VLDB'16) instead converts the
+    * directed containment threshold into a Jaccard floor within a
+    * declared size-ratio horizon: C(A,B) = |A∩B|/|A| ≥ t and
+    * |B| ≤ R·|A| imply J(A,B) ≥ t/(1+R−t) (worst case |A∩B| = t·|A|,
+    * |B| = R·|A|), so OPH MinHash band-bucket candidates — whose mass is
+    * bounded by band-bucket occupancy, linear on real corpora and
+    * already measured linear on this one (q_dedup_minhash e ≤ 1.11) —
+    * recover every horizon pair the banding's S-curve admits at its
+    * Jaccard. Survivors are verified EXACTLY in both directions
+    * (precision 1); recall is measured, never assumed
+    * (`q_containment_lsh_eval_sampled`). Pairs beyond the horizon are
+    * only found if a band still collides (J decays as 1/R); a 100 TB
+    * deployment chasing extreme-asymmetry pairs (tweet inside a book)
+    * should partition the index by size octave and re-band per
+    * partition — the full LSH-Ensemble construction this arm's horizon
+    * parameter is the single-partition form of.
+    *
+    * Defaults: numHashes 64, bands 32 (rows = 2) — at the R = 2 horizon
+    * floor J = t/(3−t) = 0.36 (t = 4/5), band recall
+    * 1−(1−J²)³² ≈ 0.99, and ≈ 1−10⁻¹⁴ at the J ≥ 0.8 the corpus's
+    * real pairs sit at. Always collapses exact-duplicate sets first
+    * (within-group pairs emitted exactly; df/banding invariant to dup
+    * inflation), same discipline as [[containmentPairsBanded]].
+    */
+  def containmentPairsLsh(docs: DataFrame, idCol: String,
+      shingleCol: String, num: Int, den: Int, preHashed: Boolean = false,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    val sh =
+      if (preHashed) array_sort(array_compact(col(shingleCol)))
+      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+    val all = docs.select(col(idCol), sh.as("_sh"))
+      .persist(Dedup.pairStorage)
+    collapsedContainmentPairs(all, idCol, num, den,
+      lshBands = Some((numHashes, bands)))
+  }
+
+  /** The collapse arm of [[containmentPairs]] — entered when the
+    * dup-rate gate measured ≥ 5% exact-duplicate sets, and ALWAYS by
+    * [[containmentPairsBanded]] (banded semantics are defined over the
+    * distinct-set corpus so document frequency — hence the banding
+    * itself — is invariant to exact-duplicate inflation).
+    *
+    * `caps` = Some((queryCap, dfCap)) threads the banded caps into the
+    * candidate join (positional filter off — see
+    * [[containmentCandidates]]); dfCap 0 resolves adaptively from the
+    * measured rep count once the rep table materializes.
     */
   private def collapsedContainmentPairs(all: DataFrame, idCol: String,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, caps: Option[(Int, Long)] = None,
+      lshBands: Option[(Int, Int)] = None): DataFrame = {
     // min-id representative per distinct set; mapping id -> rep is a
     // co-partitioned join on _sh (never a collect_list of group members
     // — a boilerplate doc duplicated 10⁹ times must not become one row)
@@ -540,18 +649,54 @@ object Dedup {
     // mapping) until job end, tripling pair-family pressure on the
     // 24g-sensitive heaps for no reuse (every later read is off base or
     // mapping)
-    base.count(); mapping.count()
+    val nReps = base.count(); mapping.count()
     all.unpersist()
+    // adaptive stop-shingle cap: a shingle present in more than ~1/64 of
+    // the distinct-set corpus (floor 256 so small corpora never band) is
+    // boilerplate whose posting group is quadratic candidate mass with
+    // no dedup signal — measured grid in SURVEY §5p picks the rule
+    val resolvedCaps = caps.map { case (qc, dc) =>
+      (qc, if (dc > 0) dc else math.max(256L, nReps / 64L))
+    }
+    resolvedCaps.foreach { case (qc, dc) =>
+      System.err.println(s"[graft] containment banded caps: reps=$nReps " +
+        s"queryCap=$qc dfCap=$dc")
+    }
     // the rank-annotated postings feed BOTH sides of the candidate join
     // (query prefix + full index): persist them for the duration of the
     // (eager) checkpointed computation or the df-join + rank window would
     // run twice — one full-posting shuffle pair per side (measured: the
-    // recomputation alone put sf2 containment from 18 to 29 s)
-    val ranked = dfOrderedPosts(base, idCol, Seq.empty)
-      .persist(Dedup.pairStorage)
+    // recomputation alone put sf2 containment from 18 to 29 s).
+    // The LSH arm never builds postings — its candidates come from the
+    // OPH band-bucket self-join — so the persist is posting-path-only.
+    val ranked =
+      if (lshBands.isDefined) None
+      else Some(dfOrderedPosts(base, idCol, Seq.empty)
+        .persist(Dedup.pairStorage))
     try {
-      val candidates = containmentCandidates(base, idCol, num, den,
-        rankedPosts = Some(ranked))
+      val candidates = lshBands match {
+        case Some((numHashes, bands)) =>
+          // MinHash band-bucket candidates (the LSH-Ensemble reading of
+          // containment: C ≥ t within size ratio R implies
+          // J ≥ t/(1+R−t), so Jaccard banding bounds candidate mass
+          // linearly where the posting join's df-driven mass is
+          // quadratic). Buckets are undirected; containment is directed,
+          // so each colliding pair enters the verify in both directions.
+          val banded = minhashBandKeys(
+            base.select(col(idCol), col("_sh")), idCol, numHashes, bands)
+          val other = banded.select(col(idCol).as("_b2"),
+            col("band"), col("bk"))
+          val und = banded.join(other, Seq("band", "bk"))
+            .filter(col(idCol) < col("_b2"))
+            .select(col(idCol).as("_a"), col("_b2").as("_b"))
+            .distinct()
+          und.unionAll(und.select(col("_b").as("_a"), col("_a").as("_b")))
+        case None => containmentCandidates(base, idCol, num, den,
+          positional = resolvedCaps.isEmpty,
+          rankedPosts = ranked,
+          queryCap = resolvedCaps.map(_._1),
+          dfCap = resolvedCaps.map(_._2))
+      }
       val aSide = base.select(col(idCol).as("_a"), col("_sh").as("_sh_a"),
         col("_n").as("_n_a"))
       val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
@@ -595,7 +740,7 @@ object Dedup {
           lit(1.0).as("containment"))
       cross.unionAll(within).localCheckpoint(true)
     } finally {
-      ranked.unpersist(); base.unpersist(); mapping.unpersist()
+      ranked.foreach(_.unpersist()); base.unpersist(); mapping.unpersist()
       all.unpersist(): Unit
     }
   }
@@ -620,7 +765,9 @@ object Dedup {
   private[graft] def containmentCandidates(base: DataFrame, idCol: String,
       num: Int, den: Int, positional: Boolean = true,
       rankedPosts: Option[DataFrame] = None,
-      bucketedIndex: Boolean = false): DataFrame = {
+      bucketedIndex: Boolean = false,
+      queryCap: Option[Int] = None,
+      dfCap: Option[Long] = None): DataFrame = {
     // exact integer ceil(t*n), immune to 0.8*35 = 28.000000000000004
     val ceilTn = ((col("_n") * num + (den - 1)) / den).cast("int")
     val prefixLen = col("_n") - ceilTn + 1
@@ -667,11 +814,33 @@ object Dedup {
     // index postings); callers with that shape can opt in explicitly.
     // The honest general fix for the fresh-mode candidate floor remains
     // open: the floor is the post-positional distinct mass itself.
+    // BANDED CAPS (round 14, the fresh-mode production arm — see
+    // [[containmentPairsBanded]]): queryCap keeps only each query's
+    // `queryCap` RAREST prefix postings (the lossless prefix can be
+    // ~(1−t)·n postings whose df grows with the corpus; the rarest few
+    // carry nearly all of the discrimination), and dfCap drops postings
+    // of shingles present in more than `dfCap` documents from BOTH sides
+    // (stop-shingle rule, same discipline as qWinnowPairs' df ≤ 100):
+    // their posting groups are the quadratic candidate mass and they
+    // carry no dedup signal. Candidates are then ≤ docs × queryCap ×
+    // dfCap — LINEAR in the corpus. Recall < 1 (a pair found only
+    // through a dropped posting is lost) and is MEASURED, never assumed
+    // (q_containment_eval_sampled). Callers passing caps must run with
+    // positional = false: the positional bound's first-shared-element
+    // lemma assumes the globally-first shared element was generated,
+    // which a cap can remove — the bound would then over-prune pairs the
+    // capped join legitimately found through a later element.
+    require((queryCap.isEmpty && dfCap.isEmpty) || !positional,
+      "positional filter is unsound under banded caps (first-shared-element lemma)")
+    val dfOk = dfCap.map(col("_df") <= _)
     val queryPosts0 = ranked.filter(col("_pos") <= prefixLen)
+      .filter(queryCap.map(col("_pos") <= _).getOrElse(lit(true)))
+      .filter(dfOk.getOrElse(lit(true)))
       .select(col(idCol).as("_a"), col("_h"),
         col("_pos").as("_pos_a"), col("_n").as("_n_a"))
-    val indexPosts0 = ranked.select(col(idCol).as("_b"), col("_h"),
-      col("_pos").as("_pos_b"), col("_n").as("_n_b"))
+    val indexPosts0 = ranked.filter(dfOk.getOrElse(lit(true)))
+      .select(col(idCol).as("_b"), col("_h"),
+        col("_pos").as("_pos_b"), col("_n").as("_n_b"))
     val (queryPosts, indexPosts, joinKeys) =
       if (!bucketedIndex) (queryPosts0, indexPosts0, Seq("_h"))
       else {
