@@ -51,4 +51,56 @@ class PairPredicateSpec extends AnyFunSuite {
         s"planted pair ($i, ${100 + i}) missing from unconstrained join")
     }
   }
+
+  /** The collapseKeys SYMMETRY contract, enforced as a spec instead of
+    * scaladoc-only (r13 advice): rep-level pruning under the collapse
+    * evaluates the predicate at REP ids in rep (a < b) orientation while
+    * the legacy path evaluates member pairs in member orientation — for
+    * an ASYMMETRIC predicate the two can disagree across groups and the
+    * collapse silently drops qualifying member pairs. This test pins
+    * BOTH halves: a symmetric predicate makes the arms agree exactly,
+    * and the documented asymmetric failure really happens (if a future
+    * change makes asymmetric predicates safe, the second half fails and
+    * the contract text should be retired with it).
+    */
+  test("collapseKeys requires a symmetric predicate (contract pinned)") {
+    import spark.implicits._
+    // two exact-dup groups with nearly-identical sets across groups:
+    //   G_odd  = ids {3, 5}, set {a,b,c,d}   (both keys id%2 = 1)
+    //   G_even = ids {2, 8}, set {a,b,c,e}   (both keys id%2 = 0)
+    // cross-group J = 3/5 = 0.6 >= 0.5; within-group J = 1.0.
+    val docs = Seq(
+      (3L, Seq("a", "b", "c", "d")), (5L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")), (8L, Seq("a", "b", "c", "e")))
+      .toDF("doc_id", "sh")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SYMMETRIC predicate (the ingest parity gate): arms agree exactly
+    val sym = col("doc_id") % 2 =!= col("doc_id_b") % 2
+    val symLegacy = key(Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty,
+      0.5, pairPredicate = Some(sym),
+      collapseKeys = Seq(col("doc_id") % 2), collapseExactDups = false))
+    val symCollapse = key(Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty,
+      0.5, pairPredicate = Some(sym),
+      collapseKeys = Seq(col("doc_id") % 2), collapseExactDups = true))
+    assert(symCollapse == symLegacy)
+    assert(symLegacy == Set((2L, 3L), (2L, 5L), (3L, 8L), (5L, 8L)))
+    // ASYMMETRIC predicate (key_a odd AND key_b even): function of the
+    // collapse keys, so group-homogeneous — but rep orientation
+    // (rep_even=2 < rep_odd=3) evaluates p(2,3) = false and prunes the
+    // rep pair, losing member pairs (3,8) and (5,8) that the legacy
+    // member orientation keeps. The documented failure, pinned:
+    val asym = col("doc_id") % 2 === 1 && col("doc_id_b") % 2 === 0
+    val asymLegacy = key(Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty,
+      0.5, pairPredicate = Some(asym),
+      collapseKeys = Seq(col("doc_id") % 2), collapseExactDups = false))
+    val asymCollapse = key(Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty,
+      0.5, pairPredicate = Some(asym),
+      collapseKeys = Seq(col("doc_id") % 2), collapseExactDups = true))
+    assert(asymLegacy == Set((3L, 8L), (5L, 8L)))
+    assert(asymCollapse != asymLegacy,
+      "asymmetric predicate now agrees under collapse — retire the " +
+        "symmetry contract if this is intentional")
+  }
 }
