@@ -82,10 +82,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     def canarySparkMs(): Double = {
-      import org.apache.spark.sql.functions.{sum => fsum, xxhash64 => fxx, col => fcol}
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64 => fxx,
+        col => fcol, pmod => fpmod, lit => flit}
       val t0 = System.nanoTime()
+      // pmod bounds each term to < 10⁶ so the 50M-row ANSI sum can never
+      // overflow Long (raw xxhash64 sums did, killing the run in main)
       spark.range(0, 50000000L, 1, cpus.toInt)
-        .select(fsum(fxx(fcol("id")))).head()
+        .select(fsum(fpmod(fxx(fcol("id")), flit(1000000L)))).head()
       (System.nanoTime() - t0) / 1e6
     }
     val canaryCpuStart = canaryCpuMs()
