@@ -114,9 +114,15 @@ object Bench {
     // they'd dominate the wall with work no production run would do.
     // SPARK_GRAFT_TIER=all forces them back in (e.g. to measure the
     // ground-truth curve deliberately).
+    // q_dedup_containment_banded joined the tier in round 14: on dense-df
+    // corpora its adaptive df cap is measured quadratic (SURVEY §5p-1 —
+    // the documented negative result; q_dedup_containment_lsh is the
+    // production arm), so at catalog scale it is a 100-225 s
+    // non-production row. Scale chains still name it via SPARK_GRAFT_ONLY.
     val smallSfOnly = Set(
       "q_minhash_eval", "q_simhash_eval", "q_lsh_sweep",
-      "q_dedup_embedding_exact", "q_dedup_embedding_lsh_pinned")
+      "q_dedup_embedding_exact", "q_dedup_embedding_lsh_pinned",
+      "q_dedup_containment_banded")
     val tierAll = sys.env.get("SPARK_GRAFT_TIER").contains("all")
     // large-sf = a ScaleUp corpus (basename sf<N>[f|d], N >= 1: plain
     // replica, f=fresh, d=dup-heavy) — NOT merely "anything that isn't

@@ -87,7 +87,10 @@ def main():
         "modes": {},
     }
     artifact["run_counts"] = {}
-    for mode, suffix in (("replica", ""), ("fresh", "f")):
+    # dup = the dup-heavy ScaleUp mode (~33% exact duplicates — the
+    # real-crawl regime the exact-duplicate collapse exists for); its
+    # artifacts first appear in round 14, earlier dirs simply skip it
+    for mode, suffix in (("replica", ""), ("fresh", "f"), ("dup", "d")):
         runs = {}
         run_counts = {}
         for sf, factor in points:
