@@ -51,10 +51,13 @@ object EmbeddingBandProbe {
         val t0 = System.nanoTime()
         val occ = banded.groupBy($"band", $"bk", $"label")
           .agg(count(lit(1)).as("c"))
+        // keep the pair sums integral (long): `/ 2` would promote to
+        // double and the row accessors below expect longs
         val stats = occ.agg(
-          sum($"c" * ($"c" - 1) / 2).as("bucket_pairs"),
+          (sum($"c" * ($"c" - 1)) / 2).cast("long").as("bucket_pairs"),
           max($"c").as("max_occ"),
-          sum(when($"c" > 1024, $"c" * ($"c" - 1) / 2)).as("giant_pairs"))
+          (sum(when($"c" > 1024, $"c" * ($"c" - 1)).otherwise(lit(0L))) / 2)
+            .cast("long").as("giant_pairs"))
           .head
         val other = banded.toDF("vec_id_b", "label", "band", "bk")
         val nCand = banded.join(other, Seq("band", "bk", "label"))
@@ -62,8 +65,8 @@ object EmbeddingBandProbe {
           .select($"vec_id", $"vec_id_b").distinct().count()
         val secs = (System.nanoTime() - t0) / 1e9
         banded.unpersist()
-        val bp = if (stats.isNullAt(0)) 0L else stats.getDecimal(0).longValue()
-        val gp = if (stats.isNullAt(2)) 0L else stats.getDecimal(2).longValue()
+        val bp = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        val gp = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         System.err.println(f"[embprobe] $dir rows=$rows bands=$bands " +
           f"bucket_pairs=$bp maxocc=${stats.getLong(1)} giant_pairs=$gp " +
           f"cand=$nCand ($secs%.1f s)")
