@@ -42,7 +42,7 @@ object ContainmentBandProbe {
         .localCheckpoint(true)
       val (nExact, tExact) =
         if (skipExact) (-1L, -1.0)
-        else timed(graft.operators.Dedup.containmentPairs(
+        else timed(graft.operators.Dedup.containmentPairsExact(
           docs, "doc_id", "sh", num = 4, den = 5, preHashed = true).count())
       System.err.println(f"[bandprobe] $dir exact=$nExact ($tExact%.1f s)")
       val cells = grid.map { case (b, d) =>
@@ -53,18 +53,31 @@ object ContainmentBandProbe {
         System.err.println(
           f"[bandprobe] $dir B=$b D=$d pairs=$n ($t%.1f s) recall=$recall%.4f")
         f""""b${b}_d$d":{"pairs":$n,"secs":$t%.1f,"recall":$recall%.4f}"""
-      } ++ sys.env.get("SPARK_GRAFT_BAND_LSH").toSeq.map { bandsS =>
-        val bands = bandsS.toInt
+      } ++ sys.env.get("SPARK_GRAFT_BAND_LSH").toSeq
+        .flatMap(_.split(",").toSeq.filter(_.nonEmpty)).map { cell =>
+        // each cell is `bands` (64 hashes) or `numHashes:bands` — the
+        // latter sweeps the rows-per-band ladder the adaptive banding
+        // rule (autoContainmentBanding) picks from, e.g. "64:32,96:32"
+        // = r2 vs r3 at the same band count
+        val (numHashes, bands) = cell.split(":") match {
+          case Array(b) => (64, b.toInt)
+          case Array(h, b) => (h.toInt, b.toInt)
+        }
         val (n, t) = timed(graft.operators.Dedup.containmentPairsLsh(
           docs, "doc_id", "sh", num = 4, den = 5, preHashed = true,
-          bands = bands).count())
+          numHashes = numHashes, bands = bands).count())
         val recall = if (nExact > 0) n.toDouble / nExact else -1.0
         System.err.println(
-          f"[bandprobe] $dir LSH bands=$bands pairs=$n ($t%.1f s) recall=$recall%.4f")
-        f""""lsh_b$bands":{"pairs":$n,"secs":$t%.1f,"recall":$recall%.4f}"""
+          f"[bandprobe] $dir LSH h=$numHashes bands=$bands pairs=$n " +
+          f"($t%.1f s) recall=$recall%.4f")
+        f""""lsh_h${numHashes}_b$bands":{"pairs":$n,"secs":$t%.1f,"recall":$recall%.4f}"""
       }
+      // cells can be empty (SPARK_GRAFT_BAND_GRID="" with no
+      // SPARK_GRAFT_BAND_LSH) — don't emit a trailing comma
+      val cellsPart =
+        if (cells.isEmpty) "" else "," + cells.mkString(",")
       println(s"""{"metric":"containment_band_grid","dir":"$dir",""" +
-        f""""n_exact":$nExact,"exact_secs":$tExact%.1f,${cells.mkString(",")}}""")
+        f""""n_exact":$nExact,"exact_secs":$tExact%.1f$cellsPart}""")
     }
     spark.stop()
   }

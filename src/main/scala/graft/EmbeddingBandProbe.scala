@@ -66,16 +66,24 @@ object EmbeddingBandProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         banded.unpersist()
         val bp = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        // max($"c") over an EMPTY occupancy aggregation is null too —
+        // guard like the sums or a zero-embedding corpus dir NPEs here
+        val mo = if (stats.isNullAt(1)) 0L else stats.getLong(1)
         val gp = if (stats.isNullAt(2)) 0L else stats.getLong(2)
         System.err.println(f"[embprobe] $dir rows=$rows bands=$bands " +
-          f"bucket_pairs=$bp maxocc=${stats.getLong(1)} giant_pairs=$gp " +
+          f"bucket_pairs=$bp maxocc=$mo giant_pairs=$gp " +
           f"cand=$nCand ($secs%.1f s)")
         f""""r$rows":{"bands":$bands,"bucket_pairs":$bp,""" +
-          f""""max_occ":${stats.getLong(1)},"giant_pairs":$gp,""" +
+          f""""max_occ":$mo,"giant_pairs":$gp,""" +
           f""""candidates":$nCand,"secs":$secs%.1f}"""
       }
+      // cells can legitimately be empty (every SPARK_GRAFT_EMB_ROWS entry
+      // filtered out of bandsForRows) — a bare trailing comma would make
+      // the metric line invalid JSON
+      val cellsPart =
+        if (cells.isEmpty) "" else "," + cells.mkString(",")
       println(s"""{"metric":"embedding_band_grid","dir":"$dir","n":$n,""" +
-        s""""auto_rows":$autoRows,${cells.mkString(",")}}""")
+        s""""auto_rows":$autoRows$cellsPart}""")
       emb.unpersist()
       // restore the session-global registration (see embeddingLshPairs)
       graft.plans.SignProjKeys.register(spark, Dedup.hyperplanes.take(64), 8)

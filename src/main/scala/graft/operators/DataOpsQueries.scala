@@ -108,7 +108,7 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
-    val exact = Dedup.containmentPairs(docs, "doc_id", "sh",
+    val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
       num = 4, den = 5, preHashed = true)
       .select($"doc_sub", $"doc_sup")
     val banded = Dedup.containmentPairsBanded(docs, "doc_id", "sh",
@@ -145,7 +145,7 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
-    val exact = Dedup.containmentPairs(docs, "doc_id", "sh",
+    val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
       num = 4, den = 5, preHashed = true)
       .select($"doc_sub", $"doc_sup")
     val lsh = Dedup.containmentPairsLsh(docs, "doc_id", "sh",

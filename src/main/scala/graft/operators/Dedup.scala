@@ -441,15 +441,104 @@ object Dedup {
       num: Int, den: Int, preHashed: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    // array_compact on the pre-hashed branch: drops null slots AND marks
-    // the element type non-null — the SortedIntersectCount verify kernel
-    // rejects containsNull=true (a null slot would read undefined), and a
-    // caller-supplied hash column (e.g. portableHash64, whose conv() chain
-    // is nullable-typed) legitimately carries the nullable marker with no
-    // actual nulls. The xxhash64 branch is containsNull=false already.
-    val sh =
-      if (preHashed) array_sort(array_compact(col(shingleCol)))
-      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+    val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
+      .as("_sh")).persist(Dedup.pairStorage)
+    // ARM GATE (round 15, r14 verdict item 2 — the r14 `weak` row): the
+    // exact posting join is lossless ground truth but its candidate mass
+    // on DENSE-df corpora is quadratic (true-pair shingle df ∝ corpus ⇒
+    // every posting group ∝ N; measured fresh e 1.56, 79.6 s at 40×),
+    // while the LSH-Ensemble arm reads e 0.74 at recall 1.0 on the same
+    // chain. Route by a measured corpus stat, the dup-rate-gate pattern:
+    // avg shingle document-frequency over the DISTINCT-SET corpus
+    // (exact-dup copies must not inflate df — they collapse before any
+    // posting work in both arms). Floored to the exact arm below
+    // `floorDocs` distinct sets, so both oracle scales (2 k / 20 k docs)
+    // keep the lossless arm and all committed hashes. The density pass
+    // (explode + HLL) is only paid ABOVE the floor, where the query
+    // itself is tens of seconds. SPARK_GRAFT_CONTAINMENT_ARM=exact|lsh
+    // pins the route for A/B probes and ground-truth runs.
+    val floorDocs = sys.env
+      .getOrElse("SPARK_GRAFT_CONTAINMENT_FLOOR", "100000").toLong
+    val dfGate = sys.env
+      .getOrElse("SPARK_GRAFT_CONTAINMENT_DF_GATE", "64").toDouble
+    var probed: Option[org.apache.spark.sql.Row] = None
+    val useLsh = sys.env.get("SPARK_GRAFT_CONTAINMENT_ARM") match {
+      case Some("exact") => false
+      case Some("lsh") => true
+      case _ =>
+        val probe = containmentProbe(all)
+        probed = Some(probe)
+        val n = probe.getLong(0); val d = probe.getLong(1)
+        val p = probe.getLong(2)
+        if (d < floorDocs) {
+          System.err.println(s"[graft] containment arm gate: docs=$n " +
+            s"distinct=$d < floor $floorDocs -> exact")
+          false
+        } else {
+          // distinct-set postings ≈ p·d/n (exact when n = d; dup copies
+          // carry the same set sizes on average), one HLL pass for the
+          // distinct-shingle count
+          val distinctSh = all
+            .select(explode(col("_sh")).as("_h"))
+            .agg(approx_count_distinct(col("_h"))).head.getLong(0)
+          val avgDf =
+            if (distinctSh == 0L) 0.0
+            else (p.toDouble * d / math.max(1L, n)) / distinctSh
+          val lsh = avgDf > dfGate
+          System.err.println(f"[graft] containment arm gate: docs=$n " +
+            f"distinct=$d postings=$p shingles=$distinctSh " +
+            f"avgDf=$avgDf%.1f gate=$dfGate%.1f -> " +
+            (if (lsh) "lsh" else "exact"))
+          lsh
+        }
+    }
+    if (useLsh) collapsedContainmentPairs(all, idCol, num, den,
+      lshBands = Some((0, 0)))
+    else exactContainmentPairs(all, idCol, num, den, probed)
+  }
+
+  /** The lossless exact arm of [[containmentPairs]], bypassing the arm
+    * gate — ground truth for the recall evals and probes (which run it
+    * on sampled/large corpora where the gate would route to LSH).
+    */
+  def containmentPairsExact(docs: DataFrame, idCol: String,
+      shingleCol: String, num: Int, den: Int,
+      preHashed: Boolean = false): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
+      .as("_sh")).persist(Dedup.pairStorage)
+    exactContainmentPairs(all, idCol, num, den, None)
+  }
+
+  // array_compact on the pre-hashed branch: drops null slots AND marks
+  // the element type non-null — the SortedIntersectCount verify kernel
+  // rejects containsNull=true (a null slot would read undefined), and a
+  // caller-supplied hash column (e.g. portableHash64, whose conv() chain
+  // is nullable-typed) legitimately carries the nullable marker with no
+  // actual nulls. The xxhash64 branch is containsNull=false already.
+  private def hashedSetCol(shingleCol: String, preHashed: Boolean): Column =
+    if (preHashed) array_sort(array_compact(col(shingleCol)))
+    else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
+
+  // ONE aggregate job for the gate stats — the scan doubles as the
+  // persist materialization (the r12 separate count()+countDistinct pair
+  // measured as fixed per-call overhead across the gated catalog
+  // queries): docs, distinct sets (hash of the set so nothing array-keyed
+  // shuffles; a collision only under-counts), total postings
+  private def containmentProbe(all: DataFrame): org.apache.spark.sql.Row =
+    all.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("_sh"))).as("d"),
+      coalesce(sum(size(col("_sh"))), lit(0L)).as("p")).head
+
+  /** The exact arm's body: dup-rate collapse gate, then the lossless
+    * posting join (non-collapsed pipeline or
+    * [[collapsedContainmentPairs]]). `probed` reuses the arm gate's
+    * aggregate when [[containmentPairs]] already ran it.
+    */
+  private def exactContainmentPairs(all: DataFrame, idCol: String,
+      num: Int, den: Int,
+      probed: Option[org.apache.spark.sql.Row]): DataFrame = {
     // EXACT-DUPLICATE COLLAPSE (round-12: ContainmentDecomp measured the
     // sf4-replica wall 85% in the verify join over 181M candidates, and
     // replica cliques are the candidate mass): containment is a function
@@ -462,8 +551,6 @@ object Dedup {
     // group of g docs turns g² candidate×verify work into 1. On an
     // all-distinct corpus the collapse is two linear co-partitioned
     // shuffles on _sh and the mapping join is a no-op expansion.
-    val all = docs.select(col(idCol), sh.as("_sh"))
-      .persist(Dedup.pairStorage)
     // DUP-RATE GATE (the autoBanding pattern — decide the shape from a
     // cheap corpus stat): under 5% exact-duplicate sets the collapse's
     // array-keyed groupBy + mapping join cannot repay themselves — probe
@@ -473,16 +560,14 @@ object Dedup {
     // toward wrong results) and run the single-corpus pipeline when the
     // corpus is effectively all-distinct.
     // SPARK_GRAFT_COLLAPSE=force|off overrides the gate (A/B probes);
-    // default: measure and decide
-    // ONE aggregate job for both stats — the scan doubles as the persist
-    // materialization (the r12 separate count()+countDistinct pair measured
-    // as fixed per-call overhead across the gated catalog queries)
+    // default: measure and decide, reusing the arm gate's aggregate when
+    // it already ran (containmentProbe — the scan doubles as the persist
+    // materialization)
     val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
       case Some("force") => false
       case Some("off") => true
       case _ =>
-        val probe = all.agg(count(lit(1)).as("n"),
-          countDistinct(xxhash64(col("_sh"))).as("d")).head
+        val probe = probed.getOrElse(containmentProbe(all))
         val skip = probe.getLong(1) * 20L >= probe.getLong(0) * 19L // <5% dup
         System.err.println(s"[graft] containment dup-rate gate: " +
           s"docs=${probe.getLong(0)} distinct=${probe.getLong(1)} -> " +
@@ -596,18 +681,27 @@ object Dedup {
     * partition — the full LSH-Ensemble construction this arm's horizon
     * parameter is the single-partition form of.
     *
-    * Defaults: numHashes 64, bands 32 (rows = 2) — at the R = 2 horizon
-    * floor J = t/(3−t) = 0.36 (t = 4/5), band recall
-    * 1−(1−J²)³² ≈ 0.99, and ≈ 1−10⁻¹⁴ at the J ≥ 0.8 the corpus's
-    * real pairs sit at. Always collapses exact-duplicate sets first
-    * (within-group pairs emitted exactly; df/banding invariant to dup
-    * inflation), same discipline as [[containmentPairsBanded]].
+    * Banding: `numHashes = bands = 0` (the default) resolves via
+    * [[autoContainmentBanding]] from the measured distinct-set count once
+    * the collapse materializes — (64, 32×2) below 2²⁰ reps (the
+    * oracle-pinned shape; at the R = 2 horizon floor J = t/(3−t) = 0.36
+    * (t = 4/5), band recall 1−(1−J²)³² ≈ 0.99, and ≈ 1−10⁻¹⁴ at the
+    * J ≥ 0.8 the corpus's real pairs sit at), stepping rows 2→3→4 per
+    * ~7 size octaves to hold the coincidental band-collision mass down
+    * (same motivation as [[autoBanding]] for the hyperplane family).
+    * Explicit (numHashes, bands) pins the shape (oracle twins, probes).
+    * Always collapses exact-duplicate sets first (within-group pairs
+    * emitted exactly; df/banding invariant to dup inflation), same
+    * discipline as [[containmentPairsBanded]].
     */
   def containmentPairsLsh(docs: DataFrame, idCol: String,
       shingleCol: String, num: Int, den: Int, preHashed: Boolean = false,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+      numHashes: Int = 0, bands: Int = 0): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    require((numHashes == 0) == (bands == 0),
+      "numHashes and bands must be pinned together (0,0 = auto)")
+    require(numHashes == 0 || numHashes % bands == 0,
+      "bands must divide numHashes")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val sh =
       if (preHashed) array_sort(array_compact(col(shingleCol)))
@@ -617,6 +711,26 @@ object Dedup {
     collapsedContainmentPairs(all, idCol, num, den,
       lshBands = Some((numHashes, bands)))
   }
+
+  /** Size-octave banding for the containment-LSH arm: rows per band step
+    * 2 → 3 → 4 as the DISTINCT-SET corpus grows, band count fixed at 32.
+    * A fixed r = 2 banding admits coincidental (non-pair) band
+    * collisions with probability J², so their mass grows ~n²·E[J²] —
+    * the same fixed-shape risk [[autoBanding]] retired for the
+    * hyperplane family in r11. Raising rows sharpens the S-curve
+    * (per-band collision J^r) at the cost of horizon-floor recall
+    * (J = 0.36: r2 ≈ 0.99, r3 ≈ 0.78, r4 ≈ 0.42 per 32 bands) — still
+    * ≥ 1−10⁻¹⁰ at the J ≥ 0.8 the measured true pairs sit at, and
+    * recall is MEASURED per rung, never assumed (probe grid committed in
+    * probes/; `q_containment_lsh_eval_sampled` keeps it continuously
+    * measurable). Floors to the oracle-pinned (64, 32×2) below 2²⁰ reps
+    * so both correctness scales and the 10–40× chain keep their r14
+    * shapes byte-for-byte.
+    */
+  def autoContainmentBanding(nReps: Long): (Int, Int) =
+    if (nReps < (1L << 20)) (64, 32)        // r = 2 — oracle-pinned shape
+    else if (nReps < (1L << 27)) (96, 32)   // r = 3
+    else (128, 32)                          // r = 4
 
   /** The collapse arm of [[containmentPairs]] — entered when the
     * dup-rate gate measured ≥ 5% exact-duplicate sets, and ALWAYS by
@@ -675,13 +789,24 @@ object Dedup {
         .persist(Dedup.pairStorage))
     try {
       val candidates = lshBands match {
-        case Some((numHashes, bands)) =>
+        case Some((numHashes0, bands0)) =>
           // MinHash band-bucket candidates (the LSH-Ensemble reading of
           // containment: C ≥ t within size ratio R implies
           // J ≥ t/(1+R−t), so Jaccard banding bounds candidate mass
           // linearly where the posting join's df-driven mass is
           // quadratic). Buckets are undirected; containment is directed,
           // so each colliding pair enters the verify in both directions.
+          // (0, 0) = resolve the shape from the measured distinct-set
+          // count (autoContainmentBanding) now that nReps is known.
+          val (numHashes, bands) =
+            if (numHashes0 > 0) (numHashes0, bands0)
+            else {
+              val shape = autoContainmentBanding(nReps)
+              System.err.println(s"[graft] containment lsh auto-banding: " +
+                s"reps=$nReps -> hashes=${shape._1} bands=${shape._2} " +
+                s"rows=${shape._1 / shape._2}")
+              shape
+            }
           val banded = minhashBandKeys(
             base.select(col(idCol), col("_sh")), idCol, numHashes, bands)
           val other = banded.select(col(idCol).as("_b2"),

@@ -23,3 +23,28 @@ else
        <(python3 -m json.tool "$tmp") | head -40 >&2 || true
   exit 1
 fi
+# Probe artifacts (round 15, r14 verdict item 3): the recall/occupancy
+# grids that justify banding defaults live in probes/*.jsonl — every
+# line of every committed probe file must parse as JSON, so a truncated
+# or comma-broken probe line can never be cited as evidence.
+if [ -d "$(dirname "$0")/../probes" ]; then
+  PROBES_DIR="$(dirname "$0")/../probes" python3 - <<'EOF'
+import glob, json, os, sys
+base = os.environ["PROBES_DIR"]
+bad = 0
+files = sorted(glob.glob(os.path.join(base, '*.jsonl')))
+for f in files:
+    for i, line in enumerate(open(f), 1):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            json.loads(line)
+        except Exception as e:
+            print(f"BAD JSON {f}:{i}: {e}", file=sys.stderr)
+            bad += 1
+if bad:
+    sys.exit(1)
+print(f"OK: {len(files)} probe file(s) parse clean")
+EOF
+fi
