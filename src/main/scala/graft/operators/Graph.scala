@@ -54,6 +54,52 @@ object Graph {
     (src, dst)
   }
 
+  /** Sorted distinct node ids of an edge list — the dense-remap id table
+    * for the primitive-array local paths (index = rank in sorted order,
+    * so the dense order is isomorphic to raw-id order and every raw-id
+    * comparison in the algorithms is preserved under indices).
+    */
+  private def distinctSortedIds(srcA: Array[Long], dstA: Array[Long]): Array[Long] = {
+    val all = new Array[Long](srcA.length + dstA.length)
+    System.arraycopy(srcA, 0, all, 0, srcA.length)
+    System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+    java.util.Arrays.sort(all)
+    var w = 0
+    var i = 0
+    while (i < all.length) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(all, w)
+  }
+
+  /** Remap raw edge endpoints to dense indices into `ids`. */
+  private def toDense(ids: Array[Long], a: Array[Long]): Array[Int] = {
+    val out = new Array[Int](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = java.util.Arrays.binarySearch(ids, a(i)); i += 1
+    }
+    out
+  }
+
+  /** CSR adjacency (offsets + targets) from dense int edges; directed —
+    * callers pass both directions for a symmetric graph. Returns
+    * (offsets of length n+1, targets).
+    */
+  private def csr(n: Int, si: Array[Int], di: Array[Int]): (Array[Int], Array[Int]) = {
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < si.length) { off(si(k) + 1) += 1; k += 1 }
+    var i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val tgt = new Array[Int](si.length)
+    k = 0
+    while (k < si.length) { tgt(pos(si(k))) = di(k); pos(si(k)) += 1; k += 1 }
+    (off, tgt)
+  }
+
   /** `iters` rounds of damped PageRank (d = 85/100) over an integer edge
     * list. Returns (node, rank) for every node.
     *
@@ -126,27 +172,31 @@ object Graph {
     import spark.implicits._
     val (srcA, dstA) = collectEdgePairs(e.select($"src", $"dst"))
     val m = srcA.length
-    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    // dense remap + primitive arrays end to end (r15): the boxed HashMap
+    // form spent the local path's wall hashing/boxing ~10⁶ Long keys per
+    // round; the updates are identical truncating-Long arithmetic, so
+    // ranks are byte-identical (order-independent sums)
+    val ids = distinctSortedIds(srcA, dstA)
+    val n = ids.length
+    val si = toDense(ids, srcA)
+    val di = toDense(ids, dstA)
+    val deg = new Array[Long](n)
     var k = 0
-    while (k < m) {
-      deg.update(srcA(k), deg.getOrElse(srcA(k), 0L) + 1L); k += 1
-    }
-    val ids = (srcA.iterator ++ dstA.iterator).toArray.distinct
-    val init = Scale / ids.length
+    while (k < m) { deg(si(k)) += 1L; k += 1 }
+    val init = Scale / n
     val base = 15L * init / 100L
-    var rank = scala.collection.mutable.HashMap.from(ids.map(_ -> init))
+    var rank = Array.fill(n)(init)
     for (_ <- 0 until iters) {
-      val inMass = scala.collection.mutable.HashMap.empty[Long, Long]
+      val inMass = new Array[Long](n)
       k = 0
-      while (k < m) {
-        val s = srcA(k); val d = dstA(k)
-        inMass.update(d, inMass.getOrElse(d, 0L) + rank(s) / deg(s))
-        k += 1
-      }
-      rank = scala.collection.mutable.HashMap.from(
-        ids.map(nd => nd -> (base + 85L * inMass.getOrElse(nd, 0L) / 100L)))
+      while (k < m) { inMass(di(k)) += rank(si(k)) / deg(si(k)); k += 1 }
+      val next = new Array[Long](n)
+      var i = 0
+      while (i < n) { next(i) = base + 85L * inMass(i) / 100L; i += 1 }
+      rank = next
     }
-    spark.createDataFrame(ids.map(nd => (nd, rank(nd))).toSeq)
+    spark.createDataFrame(
+      ids.indices.map(i => (ids(i), rank(i))))
       .toDF("node", "rank")
   }
 
@@ -216,29 +266,66 @@ object Graph {
     val spark = dir0.sparkSession
     import spark.implicits._
     val (srcA, dstA) = collectEdgePairs(dir0.select($"src", $"dst"))
-    val adj = scala.collection.mutable.HashMap
-      .empty[Long, scala.collection.mutable.HashSet[Long]]
-    def add(a: Long, b: Long): Unit =
-      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
-    var k = 0
-    while (k < srcA.length) { add(srcA(k), dstA(k)); add(dstA(k), srcA(k)); k += 1 }
-    val ids = adj.keys.toArray
-    var labels = scala.collection.mutable.HashMap.from(ids.map(n => n -> n))
+    val m = srcA.length
+    // dense remap + CSR with per-node dedup (r15): neighbor SET semantics
+    // exactly as the HashSet form — a directed pair present both ways
+    // contributes one neighbor; primitive arrays replace ~10⁶ boxed
+    // set inserts per build and per-node HashMap counting per round
+    val ids = distinctSortedIds(srcA, dstA)
+    val n = ids.length
+    val si = toDense(ids, srcA)
+    val di = toDense(ids, dstA)
+    val bothS = new Array[Int](2 * m); val bothD = new Array[Int](2 * m)
+    System.arraycopy(si, 0, bothS, 0, m); System.arraycopy(di, 0, bothD, 0, m)
+    System.arraycopy(di, 0, bothS, m, m); System.arraycopy(si, 0, bothD, m, m)
+    val (off0, tgt0) = csr(n, bothS, bothD)
+    // sort + dedupe each adjacency segment in place (set semantics)
+    val off = new Array[Int](n + 1)
+    val tgt = new Array[Int](tgt0.length)
+    var w = 0
+    var u = 0
+    while (u < n) {
+      java.util.Arrays.sort(tgt0, off0(u), off0(u + 1))
+      var j = off0(u)
+      val segStart = w
+      while (j < off0(u + 1)) {
+        if (w == segStart || tgt0(j) != tgt(w - 1)) { tgt(w) = tgt0(j); w += 1 }
+        j += 1
+      }
+      off(u + 1) = w
+      u += 1
+    }
+    var labels = ids.clone() // label(v) starts as v's own id
+    val scratch = new Array[Long](n.max(1))
     for (_ <- 0 until iters) {
-      val next = scala.collection.mutable.HashMap.empty[Long, Long]
-      ids.foreach { nd =>
-        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-        adj(nd).foreach { nb =>
-          val l = labels(nb)
-          counts.update(l, counts.getOrElse(l, 0L) + 1L)
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val s = off(v); val e0 = off(v + 1)
+        if (s == e0) next(v) = ids(v)
+        else {
+          var j = s
+          while (j < e0) { scratch(j - s) = labels(tgt(j)); j += 1 }
+          val d = e0 - s
+          java.util.Arrays.sort(scratch, 0, d)
+          // runs ascend by label, so a strictly-greater count test keeps
+          // the LOWEST label on ties — the minBy((-c, l)) order
+          var best = scratch(0); var bestC = 0L
+          var i = 0
+          while (i < d) {
+            var c = 1L
+            while (i + 1 < d && scratch(i + 1) == scratch(i)) { c += 1L; i += 1 }
+            if (c > bestC) { bestC = c; best = scratch(i) }
+            i += 1
+          }
+          next(v) = best
         }
-        next(nd) =
-          if (counts.isEmpty) nd
-          else counts.minBy { case (l, c) => (-c, l) }._1
+        v += 1
       }
       labels = next
     }
-    spark.createDataFrame(ids.map(nd => (nd, labels(nd))).toSeq)
+    spark.createDataFrame(
+      ids.indices.map(i => (ids(i), labels(i))))
       .toDF("node", "label")
   }
 
@@ -383,43 +470,54 @@ object Graph {
     val s = und.sparkSession
     import s.implicits._
     val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
-    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    val m = srcA.length
+    // dense remap + CSR (r15): same degree-ordered orientation and
+    // sorted-adjacency merge count, on primitive int arrays instead of
+    // boxed HashMap[Long, ArrayBuffer] — the dense index order is
+    // id-order-isomorphic, so the (deg, id) orientation is unchanged
+    val ids = distinctSortedIds(srcA, dstA)
+    val n = ids.length
+    val si = toDense(ids, srcA)
+    val di = toDense(ids, dstA)
+    val deg = new Array[Long](n)
     var k = 0
-    while (k < srcA.length) {
-      deg.update(srcA(k), deg.getOrElse(srcA(k), 0L) + 1L)
-      deg.update(dstA(k), deg.getOrElse(dstA(k), 0L) + 1L)
-      k += 1
-    }
+    while (k < m) { deg(si(k)) += 1L; deg(di(k)) += 1L; k += 1 }
     // orient low-(deg, id) → high-(deg, id); degree-1 endpoints pruned
-    val adj = scala.collection.mutable.HashMap
-      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val eu = new Array[Int](m); val ev = new Array[Int](m)
+    var w = 0
     k = 0
-    while (k < srcA.length) {
-      val a = srcA(k); val b = dstA(k)
+    while (k < m) {
+      val a = si(k); val b = di(k)
       if (deg(a) > 1 && deg(b) > 1) {
-        val (u, v) =
-          if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b)
-          else (b, a)
-        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+        if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) {
+          eu(w) = a; ev(w) = b
+        } else { eu(w) = b; ev(w) = a }
+        w += 1
       }
       k += 1
     }
-    val sorted = adj.map { case (u, nb) => u -> nb.toArray.sorted }
+    val (off, tgt) = csr(n, java.util.Arrays.copyOf(eu, w),
+      java.util.Arrays.copyOf(ev, w))
+    var u = 0
+    while (u < n) { java.util.Arrays.sort(tgt, off(u), off(u + 1)); u += 1 }
     var tri = 0L
-    sorted.foreach { case (_, nb) =>
-      nb.foreach { v =>
-        sorted.get(v).foreach { nbv =>
-          // merge two sorted arrays, counting matches
-          var i = 0; var j = 0
-          while (i < nb.length && j < nbv.length) {
-            if (nb(i) == nbv(j)) { tri += 1; i += 1; j += 1 }
-            else if (nb(i) < nbv(j)) i += 1
-            else j += 1
-          }
+    u = 0
+    while (u < n) {
+      var p = off(u)
+      while (p < off(u + 1)) {
+        val v = tgt(p)
+        // merge two sorted out-neighbor runs, counting matches
+        var i = off(u); var j = off(v)
+        while (i < off(u + 1) && j < off(v + 1)) {
+          if (tgt(i) == tgt(j)) { tri += 1; i += 1; j += 1 }
+          else if (tgt(i) < tgt(j)) i += 1
+          else j += 1
         }
+        p += 1
       }
+      u += 1
     }
-    (deg.size.toLong, tri)
+    (n.toLong, tri)
   }
 
   /** General path: adjacency-intersection — build each node's out-neighbor
@@ -534,27 +632,50 @@ object Graph {
     val s = und.sparkSession
     import s.implicits._
     val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
-    val adj = scala.collection.mutable.HashMap
-      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-    def add(a: Long, b: Long): Unit =
-      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-    var k = 0
-    while (k < srcA.length) { add(srcA(k), dstA(k)); add(dstA(k), srcA(k)); k += 1 }
-    val maxDeg = adj.valuesIterator.map(_.size).max
-    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
-    var frontier = adj.iterator
-      .collect { case (n, nb) if nb.size == maxDeg => n }.toArray
-    frontier.foreach(dist.update(_, 0L))
-    for (d <- 1 to maxDepth) {
-      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
-      frontier.foreach { u =>
-        adj(u).foreach { v =>
-          if (!dist.contains(v)) { dist.update(v, d.toLong); next += v }
-        }
-      }
-      frontier = next.toArray
+    val m = srcA.length
+    // dense remap + CSR (r15, see countTrianglesLocal): und is distinct
+    // with src < dst, so the symmetrized adjacency has no duplicate
+    // slots and per-node degree is the segment length — identical seed
+    // set and reached distances, primitive arrays end to end
+    val ids = distinctSortedIds(srcA, dstA)
+    val n = ids.length
+    val si = toDense(ids, srcA)
+    val di = toDense(ids, dstA)
+    val bothS = new Array[Int](2 * m); val bothD = new Array[Int](2 * m)
+    System.arraycopy(si, 0, bothS, 0, m); System.arraycopy(di, 0, bothD, 0, m)
+    System.arraycopy(di, 0, bothS, m, m); System.arraycopy(si, 0, bothD, m, m)
+    val (off, tgt) = csr(n, bothS, bothD)
+    var maxDeg = 0
+    var u = 0
+    while (u < n) { maxDeg = maxDeg.max(off(u + 1) - off(u)); u += 1 }
+    val dist = new Array[Int](n)
+    java.util.Arrays.fill(dist, -1)
+    var frontier = new Array[Int](n)
+    var fLen = 0
+    u = 0
+    while (u < n) {
+      if (off(u + 1) - off(u) == maxDeg) { frontier(fLen) = u; fLen += 1; dist(u) = 0 }
+      u += 1
     }
-    s.createDataFrame(dist.toSeq).toDF("node", "dist")
+    for (d <- 1 to maxDepth) {
+      val next = new Array[Int](n)
+      var nLen = 0
+      var f = 0
+      while (f < fLen) {
+        val x = frontier(f)
+        var p = off(x)
+        while (p < off(x + 1)) {
+          val v = tgt(p)
+          if (dist(v) < 0) { dist(v) = d; next(nLen) = v; nLen += 1 }
+          p += 1
+        }
+        f += 1
+      }
+      frontier = next; fLen = nLen
+    }
+    s.createDataFrame(
+      ids.indices.collect { case i if dist(i) >= 0 => (ids(i), dist(i).toLong) })
+      .toDF("node", "dist")
   }
 
   /** Degree histogram of the co-purchase graph: how many nodes have each
@@ -563,7 +684,12 @@ object Graph {
   def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val und = copurchaseEdges(s, dir)
-    und.select($"src".as("n")).union(und.select($"dst".as("n")))
+    // explode both endpoints in ONE pass (r15): the former
+    // union(select(src), select(dst)) embedded the whole unpersisted
+    // co-purchase chain TWICE in the plan — scan, collect_set, pair
+    // explode and distinct each ran double (plan showed two identical
+    // 9-operator subtrees under Union; stage CPU halves with one)
+    und.select(explode(array($"src", $"dst")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
       .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"deg")
