@@ -32,6 +32,21 @@ object DataOpsQueries {
   private[graft] def idSampleSql(col: String): String =
     s"($col % 2147483648) * 2654435761 % 4294967296 < 1073741824"
 
+  /** NOTE (r15, negative result): building each eval query's two
+    * independent arms CONCURRENTLY (guide §2.6) was implemented and
+    * REVERTED. With both arms persisting, broadcasting and unpersisting
+    * against one session, the exact containment arm's verify join
+    * intermittently emitted ~10× duplicated rows (reproduced
+    * deterministically at sf0.01: n_exact_sample 101 vs truth 10
+    * whenever q_dedup_containment ran earlier in the session; the same
+    * code sequential is always correct). The suspected mechanism is the
+    * optimizer's cached-plan substitution (`useCachedData`) racing the
+    * other arm's persist/unpersist during compile + broadcast build.
+    * Overlap survives only where the cache registry is stable for the
+    * whole overlapped window (see Dedup's paired materialization
+    * counts).
+    */
+
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.exactGroups(Sources.documents(s, dir), $"doc_id", $"text")
@@ -108,6 +123,13 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
+    // NOTE (r15): building the two arms CONCURRENTLY (guide §2.6) was
+    // tried and REVERTED — with both arms persisting/unpersisting and
+    // broadcasting against one session, the exact arm's verify join
+    // intermittently emitted duplicated rows (reproduced: n_exact 101
+    // vs truth 10 at sf0.01 when another containment query preceded it;
+    // sequential runs are always correct). Arms stay sequential; the
+    // per-arm job-count reductions in Dedup carry the win instead.
     val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
       num = 4, den = 5, preHashed = true)
       .select($"doc_sub", $"doc_sup")
@@ -145,6 +167,8 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
+    // arms sequential — see the concurrency note in
+    // [[qContainmentEvalSampled]] (reproduced duplicate-row race)
     val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
       num = 4, den = 5, preHashed = true)
       .select($"doc_sub", $"doc_sup")
@@ -196,22 +220,27 @@ object DataOpsQueries {
     import s.implicits._
     graft.plans.SimHashBits.register(s, bits = 60)
     graft.plans.ShingleHashes.registerTokenHashes(s)
-    val sigs = Sources.documents(s, dir)
-      .select($"doc_id", graft.plans.SimHashBits.simhashBits(
-        graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
-      .localCheckpoint(true)
-    val chunks = array((0 until 6).map(c =>
-      struct(lit(c).as("ck"),
-        shiftright($"sim", c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
-    val banded = sigs.select($"doc_id", $"sim", explode(chunks).as("b"))
-      .select($"doc_id", $"sim", $"b.ck", $"b.cv")
-    val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
-    val sh = banded.join(other, Seq("ck", "cv"))
-      .filter($"doc_id" < $"doc_id_b")
-      .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
-      .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val chunksOf = (sim: org.apache.spark.sql.Column) =>
+      array((0 until 6).map(c =>
+        struct(lit(c).as("ck"),
+          shiftright(sim, c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
+    // arms sequential — see the concurrency note in
+    // [[qContainmentEvalSampled]]
+    val sh = {
+      val sigs = Sources.documents(s, dir)
+        .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+          graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
+        .localCheckpoint(true)
+      val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
+        .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+      val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+      banded.join(other, Seq("ck", "cv"))
+        .filter($"doc_id" < $"doc_id_b")
+        .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+        .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
     val exact = Dedup.jaccardPairs(withHashedShingles(s, dir), "doc_id", "sh",
       Seq.empty, 0.5, preHashed = true)
       .select($"doc_a", $"doc_b")
@@ -238,23 +267,28 @@ object DataOpsQueries {
     import s.implicits._
     graft.plans.SimHashBits.register(s, bits = 60)
     graft.plans.ShingleHashes.registerTokenHashes(s)
-    val sigs = Sources.documents(s, dir)
-      .select($"doc_id", graft.plans.SimHashBits.simhashBits(
-        graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
-      .localCheckpoint(true)
-    val chunks = array((0 until 6).map(c =>
-      struct(lit(c).as("ck"),
-        shiftright($"sim", c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
-    val banded = sigs.select($"doc_id", $"sim", explode(chunks).as("b"))
-      .select($"doc_id", $"sim", $"b.ck", $"b.cv")
-    val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
-    val sh = banded.join(other, Seq("ck", "cv"))
-      .filter($"doc_id" < $"doc_id_b")
-      .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
-      .filter(idSample($"doc_id") && idSample($"doc_id_b"))
-      .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val chunksOf = (sim: org.apache.spark.sql.Column) =>
+      array((0 until 6).map(c =>
+        struct(lit(c).as("ck"),
+          shiftright(sim, c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
+    // arms sequential — see the concurrency note in
+    // [[qContainmentEvalSampled]]
+    val sh = {
+      val sigs = Sources.documents(s, dir)
+        .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+          graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
+        .localCheckpoint(true)
+      val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
+        .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+      val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+      banded.join(other, Seq("ck", "cv"))
+        .filter($"doc_id" < $"doc_id_b")
+        .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+        .filter(idSample($"doc_id") && idSample($"doc_id_b"))
+        .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
     val exact = Dedup.jaccardPairs(
       withHashedShingles(s, dir).filter(idSample($"doc_id")),
       "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
@@ -504,6 +538,8 @@ object DataOpsQueries {
   def qMinhashEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = withHashedShingles(s, dir)
+    // arms sequential — see the concurrency note in
+    // [[qContainmentEvalSampled]]
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
       numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
       .select($"doc_a", $"doc_b")
@@ -531,11 +567,13 @@ object DataOpsQueries {
   def qMinhashEvalSampled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = withHashedShingles(s, dir)
+    val sampled = docs.filter(idSample($"doc_id"))
+    // arms sequential — see the concurrency note in
+    // [[qContainmentEvalSampled]]
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
       numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
       .select($"doc_a", $"doc_b")
       .filter(idSample($"doc_a") && idSample($"doc_b"))
-    val sampled = docs.filter(idSample($"doc_id"))
     val exact = Dedup.jaccardPairs(sampled, "doc_id", "sh", Seq.empty, 0.5,
       preHashed = true)
       .select($"doc_a", $"doc_b")
@@ -727,6 +765,8 @@ object DataOpsQueries {
     val hashed = docs.select($"doc_id", $"sh".as("_sh"))
       .persist(Dedup.pairStorage)
     try {
+      // arms sequential — see the concurrency note in
+      // [[qContainmentEvalSampled]]
       val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
         .localCheckpoint(true)
       val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,

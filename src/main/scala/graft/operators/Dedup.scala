@@ -170,15 +170,21 @@ object Dedup {
       // scan that also materializes the persisted frame): the r12 shape ran
       // a separate count() first, and at sf0.1 the two fixed job walls on
       // ~8 gated queries showed up as pure catalog overhead
+      // r15: the same aggregate also returns Σ|_sh| — the verify-side
+      // byte estimate, so the skip path no longer pays arraySideBytes
+      // a separate job for it
+      var sideBytes: Option[Long] = None
       val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
         case Some("force") => false
         case Some("off") => true
         case _ =>
           val probe = all.agg(count(lit(1)).as("n"),
             countDistinct(struct((bandCols ++ ckNames).map(col) :+
-              xxhash64(col("_sh")): _*)).as("d")).head
+              xxhash64(col("_sh")): _*)).as("d"),
+            coalesce(sum(size(col("_sh"))), lit(0L)).as("p")).head
           val nDocs = probe.getLong(0)
           val nSets = probe.getLong(1)
+          sideBytes = Some(nDocs * 24L + probe.getLong(2) * 8L)
           val skip = nSets * 20L >= nDocs * 19L // dup rate < 5%
           System.err.println(s"[graft] jaccard dup-rate gate: docs=$nDocs " +
             s"distinct=$nSets -> ${if (skip) "skip collapse" else "collapse"}")
@@ -188,7 +194,8 @@ object Dedup {
         val base = all
           .select((bandCols :+ idCol).map(col) :+ col("_sh"): _*)
           .withColumn("_n", size(col("_sh")))
-        try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
+        try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate,
+          sideBytes)
           .localCheckpoint(true)
         finally { all.unpersist(): Unit }
       } else collapsedJaccardPairs(all, idCol, bandCols, threshold,
@@ -215,8 +222,9 @@ object Dedup {
         .persist(Dedup.pairStorage)
       // release the corpus-scale source cache once the two derived caches
       // exist — every later read is off base or mapping (see
-      // collapsedContainmentPairs for the measured pressure rationale)
-      base.count(); mapping.count()
+      // collapsedContainmentPairs for the measured pressure rationale);
+      // r15: the two independent materialization jobs run concurrently
+      inParallel(base.count(), mapping.count())
       all.unpersist()
       try {
         val repPairs = jaccardPairsOn(base, idCol, bandCols, threshold,
@@ -402,13 +410,16 @@ object Dedup {
 
   private def jaccardPairsOn(base: DataFrame, idCol: String,
       bandCols: Seq[String], threshold: Double,
-      pairPredicate: Option[Column] = None): DataFrame = {
+      pairPredicate: Option[Column] = None,
+      knownSideBytes: Option[Long] = None): DataFrame = {
     graft.plans.SortedIntersectCount.register(base.sparkSession)
     val candidates = prefixCandidates(base, idCol, bandCols, threshold,
       pairPredicate)
     val aSide = base.select(col(idCol), col("_sh"), col("_n"))
     val bSide = aSide.toDF(s"${idCol}_b", "_sh_b", "_n_b")
-    val sideBytes = arraySideBytes(base)
+    // callers whose gate probe already measured (rows, Σ|_sh|) pass the
+    // estimate in; others pay the one-aggregate job
+    val sideBytes = knownSideBytes.getOrElse(arraySideBytes(base))
     candidates.join(verifySide(aSide, sideBytes), idCol)
       .join(verifySide(bSide, sideBytes), s"${idCol}_b")
       .filter(col("_n_b") >= col("_n") * threshold &&
@@ -441,8 +452,13 @@ object Dedup {
       num: Int, den: Int, preHashed: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    // ONE persisted (id, _sh, _n) cache serves the gate probes AND the
+    // chosen arm (r15): the former all-then-base persist pair cost an
+    // extra materialization job + a second array-heavy cache per call
+    // on the exact path for an identical frame
     val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
-      .as("_sh")).persist(Dedup.pairStorage)
+      .as("_sh")).withColumn("_n", size(col("_sh")))
+      .persist(Dedup.pairStorage)
     // ARM GATE (round 15, r14 verdict item 2 — the r14 `weak` row): the
     // exact posting join is lossless ground truth but its candidate mass
     // on DENSE-df corpora is quadratic (true-pair shingle df ∝ corpus ⇒
@@ -507,7 +523,8 @@ object Dedup {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
     val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
-      .as("_sh")).persist(Dedup.pairStorage)
+      .as("_sh")).withColumn("_n", size(col("_sh")))
+      .persist(Dedup.pairStorage)
     exactContainmentPairs(all, idCol, num, den, None)
   }
 
@@ -529,7 +546,24 @@ object Dedup {
   private def containmentProbe(all: DataFrame): org.apache.spark.sql.Row =
     all.agg(count(lit(1)).as("n"),
       countDistinct(xxhash64(col("_sh"))).as("d"),
-      coalesce(sum(size(col("_sh"))), lit(0L)).as("p")).head
+      coalesce(sum(col("_n")), lit(0L)).as("p")).head
+
+  /** Run two independent eager pipeline pieces concurrently (guide
+    * §2.6) — `b` on a pool thread, `a` on the caller's. Used where two
+    * materialization jobs have no mutual dependency, so the second's
+    * job chain is not serialized behind the first's stage tails.
+    */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    if (sys.env.contains("SPARK_GRAFT_NO_OVERLAP")) { val a = fa; (a, fb) }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f = Future(fb)
+      val a = fa
+      (a, Await.result(f, Duration.Inf))
+    }
+  }
 
   /** The exact arm's body: dup-rate collapse gate, then the lossless
     * posting join (non-collapsed pipeline or
@@ -563,11 +597,13 @@ object Dedup {
     // default: measure and decide, reusing the arm gate's aggregate when
     // it already ran (containmentProbe — the scan doubles as the persist
     // materialization)
+    var probeRow: Option[org.apache.spark.sql.Row] = probed
     val skipCollapse = sys.env.get("SPARK_GRAFT_COLLAPSE") match {
       case Some("force") => false
       case Some("off") => true
       case _ =>
         val probe = probed.getOrElse(containmentProbe(all))
+        probeRow = Some(probe)
         val skip = probe.getLong(1) * 20L >= probe.getLong(0) * 19L // <5% dup
         System.err.println(s"[graft] containment dup-rate gate: " +
           s"docs=${probe.getLong(0)} distinct=${probe.getLong(1)} -> " +
@@ -575,18 +611,15 @@ object Dedup {
         skip
     }
     if (skipCollapse) {
-      val base = all.withColumn("_n", size(col("_sh")))
-        .persist(Dedup.pairStorage)
-      // single-cache discipline: `all` exists only to feed the gate probe
-      // and `base` — materialize base NOW and drop the source cache, so
-      // exactly ONE corpus-scale array-heavy cache lives through the
-      // candidate/verify stages. (An attempt to skip base's persist
-      // entirely and read through `all` re-planned the ranked-postings
-      // materialization into a catastrophic sort spill at sf4 — the
-      // persist boundary is ALSO what keeps the downstream join plans the
-      // measured r12 shapes; do not remove it.)
-      base.count()
-      all.unpersist()
+      // single-cache discipline (r15 form): `all` now carries `_n` from
+      // construction, so it IS the base frame — one persisted
+      // array-heavy cache, already materialized by the gate/dup probes,
+      // serves the candidate and verify stages directly. (The r12
+      // finding stands: the persist boundary on this frame is what
+      // keeps the downstream join plans the measured shapes — the
+      // boundary is unchanged, only the redundant second copy and its
+      // materialization job are gone.)
+      val base = all
       val ranked = dfOrderedPosts(base, idCol, Seq.empty)
         .persist(Dedup.pairStorage)
       try {
@@ -596,8 +629,12 @@ object Dedup {
           col("_n").as("_n_a"))
         val bSide = base.select(col(idCol).as("_b"), col("_sh").as("_sh_b"))
         // strategy: see verifySide — broadcast when the arrays fit,
-        // SHUFFLE_HASH past the cap (never sort the candidate stream)
-        val sideBytes = arraySideBytes(base)
+        // SHUFFLE_HASH past the cap (never sort the candidate stream).
+        // base == all here, so the gate probe's (n, _, p) already IS the
+        // byte estimate — reuse it instead of a second aggregate job
+        val sideBytes = probeRow
+          .map(r => r.getLong(0) * 24L + r.getLong(2) * 8L)
+          .getOrElse(arraySideBytes(base))
         candidates.join(verifySide(aSide, sideBytes), "_a")
           .join(verifySide(bSide, sideBytes), "_b")
           .withColumn("_c",
@@ -762,8 +799,15 @@ object Dedup {
     // shape held three near-identical array-heavy caches (all/base/
     // mapping) until job end, tripling pair-family pressure on the
     // 24g-sensitive heaps for no reuse (every later read is off base or
-    // mapping)
-    val nReps = base.count(); mapping.count()
+    // mapping). r15: the two materialization jobs are independent — run
+    // them concurrently (guide §2.6) — and base's job is ONE aggregate
+    // that also returns Σ_n, which is exactly the verify-side byte
+    // estimate arraySideBytes used to pay a third job for.
+    val (baseStats, _) = inParallel(
+      base.agg(count(lit(1)), coalesce(sum(col("_n")), lit(0L))).head,
+      mapping.count())
+    val nReps = baseStats.getLong(0)
+    val repSideBytes = nReps * 24L + baseStats.getLong(1) * 8L
     all.unpersist()
     // adaptive stop-shingle cap: a shingle present in more than ~1/64 of
     // the distinct-set corpus (floor 256 so small corpora never band) is
@@ -830,8 +874,9 @@ object Dedup {
       // IS size(array_intersect) without the per-pair hash set + the
       // materialized intersection array the old verify allocated 181M×
       // strategy: see verifySide — broadcast when the arrays fit,
-      // SHUFFLE_HASH past the cap (never sort the candidate stream)
-      val sideBytes = arraySideBytes(base)
+      // SHUFFLE_HASH past the cap (never sort the candidate stream);
+      // byte estimate reused from the materialization aggregate above
+      val sideBytes = repSideBytes
       val repPairs = candidates.join(verifySide(aSide, sideBytes), "_a")
         .join(verifySide(bSide, sideBytes), "_b")
         .withColumn("_c",
