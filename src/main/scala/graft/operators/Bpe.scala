@@ -29,16 +29,102 @@ import graft.sources.Sources
   */
 object Bpe {
 
+  /** Word-histogram size gate for the in-memory merge loop (r15, the
+    * [[Graph.EdgeGate]] pattern): the BPE loop's ONLY state is the
+    * (unique word, count) histogram — vocabulary-sized, not
+    * corpus-sized — so when it fits the driver heap (~2M words ·
+    * ~100 B ≈ 200 MB transient) the whole nMerges loop runs as local
+    * string arithmetic with zero per-round Spark jobs. The distributed
+    * histogram aggregation (the one corpus-scale pass) is unchanged;
+    * past the gate the per-round aggregate loop applies — the 100 TB
+    * path, where a hundreds-of-millions-entry vocabulary stays
+    * distributed.
+    */
+  private[graft] val VocabGate = 2000000
+
+  /** Collect the (word, cnt) histogram when it fits [[VocabGate]] —
+    * `limit(gate+1)` returns the complete histogram iff it is within
+    * the gate (one job, also materializes the persisted frame).
+    */
+  private def collectHist(hist: DataFrame): Option[Array[(String, Long)]] = {
+    val rows = hist.limit(VocabGate + 1).collect()
+    if (rows.length <= VocabGate)
+      Some(rows.map(r => (r.getString(0), r.getLong(1))))
+    else None
+  }
+
+  /** The local merge loop: identical semantics to the distributed form —
+    * adjacent-pair counts weighted by word frequency (overlapping pairs
+    * double-counted), argmax by (count desc, pair binary asc; tokens are
+    * pure ASCII so String.compareTo IS the UTF8 binary order), literal
+    * left-to-right non-overlapping replace (Java String.replace ==
+    * Spark/DuckDB `replace`). Returns (round, pair, merged, cnt) plus
+    * the per-round spelled histogram for the compression curve.
+    */
+  private def localMergeLoop(words: Array[(String, Long)], nMerges: Int):
+      (Seq[(Long, String, String, Long)], Array[Array[(String, Long)]]) = {
+    // spell as space-separated single-char symbols (ASCII tokens, so
+    // char-join == the regexp_replace spelling)
+    var cur = words.map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+    val stages = Array.newBuilder[Array[(String, Long)]]
+    stages += cur
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      cur.foreach { case (s, c) =>
+        val syms = s.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val pr = syms(i) + " " + syms(i + 1)
+          counts.update(pr, counts.getOrElse(pr, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        merges += ((r.toLong, pair, merged, cnt))
+        cur = cur.map { case (s, c) => (s.replace(pair, merged), c) }
+        stages += cur
+      }
+    }
+    (merges.result(), stages.result())
+  }
+
+  private def wordHist(docs: DataFrame, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Learn `nMerges` BPE merges over the word histogram of `docs.textCol`.
     * Returns one row per merge round: (round, pair, merged, cnt).
     */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hist = docs
-      .select(explode(wordTokens(col(textCol))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      // spell as space-separated single-char symbols
+    val histW = wordHist(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      collectHist(histW) match {
+        case Some(words) =>
+          val (merges, _) = localMergeLoop(words, nMerges)
+          spark.createDataFrame(merges)
+            .toDF("round", "pair", "merged", "cnt")
+            .orderBy($"round")
+        case None => trainMergesShuffle(histW, nMerges)
+      }
+    } finally { histW.unpersist(): Unit }
+  }
+
+  /** Past-the-gate distributed loop (unchanged shape): per round one
+    * map-side-combining aggregate over the spelled histogram + a 1-row
+    * collect.
+    */
+  private def trainMergesShuffle(histW: DataFrame, nMerges: Int): DataFrame = {
+    val spark = histW.sparkSession
+    import spark.implicits._
+    val hist = histW
       .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("s"), $"cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -80,10 +166,32 @@ object Bpe {
       nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val histW = wordHist(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      collectHist(histW) match {
+        case Some(words) =>
+          // same local loop; the curve is Σ cnt·|symbols| per stage
+          val (_, stages) = localMergeLoop(words, nMerges)
+          val curve = stages.zipWithIndex.map { case (stage, i) =>
+            (i.toLong, stage.map { case (s, c) =>
+              c * (s.count(_ == ' ') + 1L) }.sum)
+          }.toSeq
+          return spark.createDataFrame(curve)
+            .toDF("stage", "n_symbols").orderBy($"stage")
+        case None => ()
+      }
+      compressionCurveShuffle(histW, nMerges)
+    } finally { histW.unpersist(): Unit }
+  }
+
+  /** Past-the-gate distributed curve loop (unchanged shape). */
+  private def compressionCurveShuffle(histW: DataFrame,
+      nMerges: Int): DataFrame = {
+    val spark = histW.sparkSession
+    import spark.implicits._
     graft.plans.AdjacentPairs.register(spark)
-    val hist = docs
-      .select(explode(wordTokens(col(textCol))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val hist = histW
       .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("s"), $"cnt")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -460,7 +460,14 @@ object DataOpsQueries {
     */
   def qMultimodalRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // codec work (ImageIO/AudioSystem encode+decode per id) is pure CPU
+    // and orders of magnitude heavier than the 8-byte id rows carrying
+    // it — spread the ids across the full parallelism BEFORE the heavy
+    // map (guide §2.5 input skew: the tiny parquet scan otherwise pins
+    // all decode work onto 1-3 scan tasks; measured 3 tasks / 3.7 s CPU
+    // at sf0.1, wall ≈ CPU/3 instead of CPU/32)
     val ids = Sources.documents(s, dir).select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
     Multimodal.integerStats(Multimodal.mediaFromIds(ids))
       .toDF()
       .orderBy($"media_id")

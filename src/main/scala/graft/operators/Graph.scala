@@ -73,6 +73,31 @@ object Graph {
     java.util.Arrays.copyOf(all, w)
   }
 
+  /** ONE-JOB gate + collect (r15): fetch up to `gate + 1` edges via
+    * `limit` — if the result fits the gate it IS the complete edge list
+    * (the local paths' input), collected in the same job that would
+    * otherwise only have counted; past the gate, `CollectLimit`'s
+    * incremental partition execution stops after ~gate rows, so the
+    * probe stays cheap on a huge graph and the caller falls back to the
+    * shuffle formulation.
+    */
+  private[graft] def collectEdgesWithin(e: DataFrame,
+      gate: Long): Option[(Array[Long], Array[Long])] = {
+    val rows = e.select(e.columns.map(c => col(c).cast("long")): _*)
+      .limit((gate + 1).toInt).collect()
+    if (rows.length > gate) None
+    else {
+      val n = rows.length
+      val src = new Array[Long](n)
+      val dst = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        src(i) = rows(i).getLong(0); dst(i) = rows(i).getLong(1); i += 1
+      }
+      Some((src, dst))
+    }
+  }
+
   /** Remap raw edge endpoints to dense indices into `ids`. */
   private def toDense(ids: Array[Long], a: Array[Long]): Array[Int] = {
     val out = new Array[Int](a.length)
@@ -114,11 +139,17 @@ object Graph {
       iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE-JOB gate+collect (see collectEdgesWithin): inside the gate the
+    // edge list is already in hand — no persist/count round-trip at all
+    collectEdgesWithin(e0, EdgeGate) match {
+      case Some((srcA, dstA)) =>
+        return pageRankLocalCore(spark, srcA, dstA, iters)
+      case None => ()
+    }
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (e.count() <= EdgeGate) return pageRankLocal(e, iters)
       // fuse out-degree into the edge list ONCE (every src has deg ≥ 1, so
       // the inner join keeps all edges) — each iteration then needs a
       // single src-join instead of two
@@ -168,9 +199,13 @@ object Graph {
     * locally — zero shuffles beyond the one distinct.
     */
   private[graft] def pageRankLocal(e: DataFrame, iters: Int): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
+    import e.sparkSession.implicits._
     val (srcA, dstA) = collectEdgePairs(e.select($"src", $"dst"))
+    pageRankLocalCore(e.sparkSession, srcA, dstA, iters)
+  }
+
+  private def pageRankLocalCore(spark: SparkSession, srcA: Array[Long],
+      dstA: Array[Long], iters: Int): DataFrame = {
     val m = srcA.length
     // dense remap + primitive arrays end to end (r15): the boxed HashMap
     // form spent the local path's wall hashing/boxing ~10⁶ Long keys per
@@ -213,13 +248,18 @@ object Graph {
       iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val dir0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val d0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE-JOB gate+collect (see collectEdgesWithin); the local path
+    // symmetrizes in memory, so only the distinct DIRECTED list is
+    // ever fetched
+    collectEdgesWithin(d0, EdgeGate) match {
+      case Some((srcA, dstA)) =>
+        return labelPropLocalCore(spark, srcA, dstA, iters)
+      case None => ()
+    }
+    val dir0 = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // size gate (see pageRank): the local path symmetrizes in memory,
-      // so only the distinct DIRECTED list is ever collected
-      if (dir0.count() <= EdgeGate) return labelPropLocal(dir0, iters)
       // symmetrize: propagation is over the undirected graph
       val e = dir0.union(dir0.select($"dst".as("src"), $"src".as("dst")))
         .distinct()
@@ -263,9 +303,13 @@ object Graph {
     * (parity spec).
     */
   private[graft] def labelPropLocal(dir0: DataFrame, iters: Int): DataFrame = {
-    val spark = dir0.sparkSession
-    import spark.implicits._
+    import dir0.sparkSession.implicits._
     val (srcA, dstA) = collectEdgePairs(dir0.select($"src", $"dst"))
+    labelPropLocalCore(dir0.sparkSession, srcA, dstA, iters)
+  }
+
+  private def labelPropLocalCore(spark: SparkSession, srcA: Array[Long],
+      dstA: Array[Long], iters: Int): DataFrame = {
     val m = srcA.length
     // dense remap + CSR with per-node dedup (r15): neighbor SET semantics
     // exactly as the HashSet form — a directed pair present both ways
@@ -412,17 +456,21 @@ object Graph {
     */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val und = copurchaseEdges(s, dir)
+    val und0 = copurchaseEdges(s, dir)
+    // ONE-JOB gate+collect (see collectEdgesWithin): inside the gate the
+    // collected list IS the edge set (count = length) — no persist /
+    // count / second-collect round-trip
+    collectEdgesWithin(und0, EdgeGate) match {
+      case Some((srcA, dstA)) =>
+        val (nNodes, nTriangles) = countTrianglesLocalCore(srcA, dstA)
+        return Seq((nNodes, srcA.length.toLong, nTriangles))
+          .toDF("n_nodes", "n_edges", "n_triangles")
+      case None => ()
+    }
+    val und = und0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nEdges = und.count()
-      if (nEdges <= EdgeGate) {
-        // local path: one collect; degrees, orientation and the
-        // sorted-adjacency merge count all derive in memory
-        val (nNodes, nTriangles) = countTrianglesLocal(und)
-        return Seq((nNodes, nEdges, nTriangles))
-          .toDF("n_nodes", "n_edges", "n_triangles")
-      }
       val deg = und.select($"src".as("n"), $"dst")
         .union(und.select($"dst".as("n"), $"src"))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -467,9 +515,13 @@ object Graph {
     * (nNodes, nTriangles).
     */
   private[graft] def countTrianglesLocal(und: DataFrame): (Long, Long) = {
-    val s = und.sparkSession
-    import s.implicits._
+    import und.sparkSession.implicits._
     val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
+    countTrianglesLocalCore(srcA, dstA)
+  }
+
+  private def countTrianglesLocalCore(srcA: Array[Long],
+      dstA: Array[Long]): (Long, Long) = {
     val m = srcA.length
     // dense remap + CSR (r15): same degree-ordered orientation and
     // sorted-adjacency merge count, on primitive int arrays instead of
@@ -569,33 +621,35 @@ object Graph {
   def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val maxDepth = 3
-    val und = copurchaseEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // size gate (see pageRank): traversal is latency-bound — three
-      // shuffle rounds on a memory-sized graph cost seconds the local
-      // walk doesn't. The local path collects only the UNDIRECTED list
-      // and derives degrees + max-degree sources in memory.
-      val levels =
-        if (und.count() <= EdgeGate) bfsLevelsLocal(und, maxDepth)
-        else {
-          val e = und.union(und.select($"dst".as("src"), $"src".as("dst")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-            val sources = deg
-              .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
-              .filter($"deg" === $"max_deg")
-              .select($"node")
-            // safe to unpersist after: every frontier is checkpointed
-            bfsLevelsShuffle(e, sources, maxDepth)
-          } finally e.unpersist()
-        }
-      levels.groupBy($"dist")
-        .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
-          max($"node").as("max_node"))
-        .orderBy($"dist")
-    } finally und.unpersist()
+    val und0 = copurchaseEdges(s, dir)
+    // ONE-JOB gate+collect (see collectEdgesWithin); traversal is
+    // latency-bound — three shuffle rounds on a memory-sized graph cost
+    // seconds the local walk doesn't. The local path fetches only the
+    // UNDIRECTED list and derives degrees + max-degree sources in memory.
+    val levelsLocal = collectEdgesWithin(und0, EdgeGate).map {
+      case (srcA, dstA) => bfsLevelsLocalCore(s, srcA, dstA, maxDepth)
+    }
+    val levels = levelsLocal.getOrElse {
+      val und = und0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val e = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+          val sources = deg
+            .crossJoin(broadcast(deg.agg(max($"deg").as("max_deg"))))
+            .filter($"deg" === $"max_deg")
+            .select($"node")
+          // safe to unpersist after: every frontier is checkpointed
+          bfsLevelsShuffle(e, sources, maxDepth)
+        } finally e.unpersist()
+      } finally und.unpersist()
+    }
+    levels.groupBy($"dist")
+      .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+        max($"node").as("max_node"))
+      .orderBy($"dist")
   }
 
   /** Frontier-join distributed path (any graph size): per round one
@@ -629,9 +683,13 @@ object Graph {
     * distances (parity spec).
     */
   private[graft] def bfsLevelsLocal(und: DataFrame, maxDepth: Int): DataFrame = {
-    val s = und.sparkSession
-    import s.implicits._
+    import und.sparkSession.implicits._
     val (srcA, dstA) = collectEdgePairs(und.select($"src", $"dst"))
+    bfsLevelsLocalCore(und.sparkSession, srcA, dstA, maxDepth)
+  }
+
+  private def bfsLevelsLocalCore(s: SparkSession, srcA: Array[Long],
+      dstA: Array[Long], maxDepth: Int): DataFrame = {
     val m = srcA.length
     // dense remap + CSR (r15, see countTrianglesLocal): und is distinct
     // with src < dst, so the symmetrized adjacency has no duplicate

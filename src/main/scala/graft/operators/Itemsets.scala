@@ -22,12 +22,19 @@ object Itemsets {
   def qItemsets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val minsup = 100L
-    // basket = distinct brands per order
+    // basket = distinct brands per order. r15: the basket count joins
+    // back as a broadcast 1-row aggregate instead of an eager driver
+    // count() — the whole query is ONE lazy plan, so the repeated
+    // basket-chain subtrees dedupe through ReusedExchange instead of
+    // re-running for a separate count job. (A persist was tried first
+    // and REVERTED: caching `baskets` flipped the pair self-join's
+    // strategy and cost 150 s of task time at sf0.1 vs ~5 s lazy.)
     val baskets = Sources.lineitem(s, dir)
       .join(Sources.part(s, dir), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("basket"), $"p_brand".as("item"))
       .distinct()
-    val nBaskets = baskets.select($"basket").distinct().count()
+    val nb = baskets.select($"basket").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     // downward closure: frequent single items, broadcast back
     val freq1 = baskets.groupBy($"item")
       .agg(count(lit(1)).as("item_n"))
@@ -44,10 +51,11 @@ object Itemsets {
         .withColumnRenamed("item_n", "n_a")), "item_a")
       .join(broadcast(freq1.withColumnRenamed("item", "item_b")
         .withColumnRenamed("item_n", "n_b")), "item_b")
+      .crossJoin(broadcast(nb))
       .select($"item_a", $"item_b", $"pair_n",
         expr("(pair_n * 1000000L) div n_a").as("conf_ab_ppm"),
         expr("(pair_n * 1000000L) div n_b").as("conf_ba_ppm"),
-        expr(s"(pair_n * $nBaskets * 1000000L) div (n_a * n_b)")
+        expr("(pair_n * n_baskets * 1000000L) div (n_a * n_b)")
           .as("lift_ppm"))
       .orderBy($"item_a", $"item_b")
   }
