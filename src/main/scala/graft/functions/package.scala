@@ -60,6 +60,19 @@ package object functions {
   def portableHash64Sql(expr: String): String =
     s"CAST('0x'||substr(md5($expr),1,15) AS BIGINT)"
 
+  /** Driver-side twin of [[portableHash64]] for the gated in-memory
+    * paths (r15): first 15 hex digits of md5 == first 8 digest bytes
+    * big-endian >>> 4 — bit-identical to the Column form on any string.
+    */
+  def portableHash64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
   /** Dot product of two float-array columns (cast to double, index-ordered
     * left fold → deterministic and DuckDB-`list_sum`-exact).
     */

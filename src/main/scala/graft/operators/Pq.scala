@@ -52,8 +52,93 @@ object Pq {
     * partitioning-independent. With m=1 this is a plain coarse quantizer
     * trainer (the IVF case).
     */
+  /** Row gate for the in-memory trainer (r15, the Graph.EdgeGate /
+    * Bpe.VocabGate pattern): the training loop's state is the codebook
+    * (tiny) but every round reads the full `(vec_id, codes)` frame —
+    * when that frame fits the driver (~200k × 64 longs ≈ 100 MB raw,
+    * ~3× boxed transient during collect) the seed selection and every
+    * Lloyd round run as local integer arithmetic with ZERO extra Spark
+    * jobs (the one limit-collect replaces 2 + iters jobs and their
+    * window/aggregate stage chains). Identical arithmetic end to end:
+    * portable md5-60bit seed hashes, (h, vec_id) seed order, strict-<
+    * argmin with ties to the lowest cid, truncating integer-mean
+    * updates. Past the gate the distributed loop below is unchanged —
+    * the 100 TB path (CollectLimit stops after ~gate rows, so the
+    * probe stays cheap).
+    */
+  private[graft] val LocalCodesGate = 200000
+
+  private def md5h60(s: String): Long = portableHash64Local(s)
+
+  private def localTrainBooks(rows: Array[(Long, Array[Long])], subDim: Int,
+      m: Int, k: Int, iters: Int, salt: String): Array[Seq[(Long, Array[Long])]] = {
+    // seeds: per subspace, the k lowest (portable hash, vec_id)
+    var books: Array[Seq[(Long, Array[Long])]] = (0 until m).map { s0 =>
+      rows.map { case (id, codes) =>
+        (md5h60(s"$salt$s0:$id"), id,
+          java.util.Arrays.copyOfRange(codes, s0 * subDim, (s0 + 1) * subDim))
+      }.sortBy(r => (r._1, r._2)).take(k)
+        .zipWithIndex.map { case (r, i) => (i.toLong, r._3) }.toSeq
+    }.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(m, k)(new Array[Long](subDim))
+      val counts = Array.fill(m, k)(0L)
+      // assignment identical to PqEncode: strict < over cid-sorted
+      // centroids, so ties keep the lowest cid
+      rows.foreach { case (_, codes) =>
+        var s0 = 0
+        while (s0 < m) {
+          val cents = books(s0)
+          val base = s0 * subDim
+          var bestD = Long.MaxValue
+          var bestC = -1
+          var c = 0
+          while (c < cents.length) {
+            val cent = cents(c)._2
+            var d = 0L
+            var j = 0
+            while (j < subDim) {
+              val diff = codes(base + j) - cent(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          val s = sums(s0)(bestC)
+          var j = 0
+          while (j < subDim) { s(j) += codes(base + j); j += 1 }
+          counts(s0)(bestC) += 1L
+          s0 += 1
+        }
+      }
+      // truncating integer mean (Java `/` == DuckDB `//` toward zero);
+      // empty centroids keep their previous position
+      books = books.zipWithIndex.map { case (cents, s0) =>
+        cents.map { case (cid, old) =>
+          val n = counts(s0)(cid.toInt)
+          if (n == 0L) (cid, old)
+          else (cid, Array.tabulate(subDim)(j => sums(s0)(cid.toInt)(j) / n))
+        }
+      }
+    }
+    books
+  }
+
   def trainBooks(coded: DataFrame, subDim: Int, m: Int, k: Int, iters: Int,
       salt: String): Array[Seq[(Long, Array[Long])]] = {
+    // ONE-JOB gate+collect (see LocalCodesGate)
+    val fetched = coded.limit(LocalCodesGate + 1).collect()
+    if (fetched.length <= LocalCodesGate)
+      localTrainBooks(
+        fetched.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)),
+        subDim, m, k, iters, salt)
+    else trainBooksShuffle(coded, subDim, m, k, iters, salt)
+  }
+
+  /** Past-the-gate distributed trainer (unchanged shape); package-private
+    * so the parity spec can pin local == distributed on one frame.
+    */
+  private[graft] def trainBooksShuffle(coded: DataFrame, subDim: Int, m: Int,
+      k: Int, iters: Int, salt: String): Array[Seq[(Long, Array[Long])]] = {
     def subSlice(s0: Int) = slice(col("codes"), s0 * subDim + 1, subDim)
     val seedStructs = array((0 until m).map { s0 =>
       struct(lit(s0.toLong).as("sub"),

@@ -136,8 +136,96 @@ object Similarity {
     if (n <= 2048) kFloor
     else math.max(kFloor.toLong, math.min(kCap.toLong, isqrt(n))).toInt
 
+  /** Row gate for the in-memory k-means trainer (r15, the
+    * Pq.LocalCodesGate pattern): under ~200k vectors the seed selection
+    * and every Lloyd round run locally off ONE limit-collect job —
+    * bit-identical arithmetic (portable md5 seed order, the same
+    * sequential index-order cosine fold with strict `>` and ties to the
+    * lowest cid, the same Spark-`round`-HALF_UP scaled-integer sums and
+    * truncating means). Past the gate the distributed loop is
+    * unchanged; CollectLimit keeps the probe cheap there.
+    */
+  private[graft] val LocalVecGate = 200000
+
+  private def cosLocal(v: Array[Float], c: Array[Double]): Double = {
+    val n = math.min(v.length, c.length)
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v(i).toDouble; val y = c(i)
+      dot += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Spark `round(x)` (HALF_UP over the canonical decimal form) then
+    * cast to long — the exact per-element step of the distributed
+    * Lloyd sum expression `sum(round(v[i] * 1e6).cast("long"))`.
+    */
+  private def roundE6(x: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  private def trainIvfCentroidsLocal(rows: Array[(Long, Array[Float])],
+      k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    require(rows.length >= k, s"k-means: corpus smaller than k=$k")
+    val dim = rows(0)._2.length
+    val seeds = rows
+      .map { case (id, v) => (portableHash64Local(s"km:$id"), id, v) }
+      .sortBy(r => (r._1, r._2)).take(k)
+    var cents: Seq[(Long, Array[Double])] = seeds.zipWithIndex.map {
+      case (r, i) => (i.toLong, r._3.map(_.toDouble).toArray)
+    }.toSeq
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val ns = new Array[Long](k)
+      rows.foreach { case (_, v) =>
+        // argmaxCosine replica: strict > in cid order, init -inf — a
+        // NaN cosine (zero vector) keeps the -1 bucket, which the
+        // update discards exactly like the distributed groupBy row
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cs = cosLocal(v, cents(c)._2)
+          if (cs > bestCos) { bestCos = cs; best = c }
+          c += 1
+        }
+        if (best >= 0) {
+          ns(best) += 1L
+          val s = sums(best)
+          var i = 0
+          while (i < dim) { s(i) += roundE6(v(i).toDouble * 1e6); i += 1 }
+        }
+      }
+      cents = cents.map { case (cid, old) =>
+        val n = ns(cid.toInt)
+        if (n == 0L) (cid, old)
+        else (cid, Array.tabulate(dim)(i => sums(cid.toInt)(i).toDouble / n / 1e6))
+      }
+    }
+    cents
+  }
+
   def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    graft.plans.VecCosine.register(emb.sparkSession)
+    // ONE-JOB gate+collect (see LocalVecGate)
+    val fetched = emb
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .limit(LocalVecGate + 1).collect()
+    if (fetched.length <= LocalVecGate)
+      trainIvfCentroidsLocal(
+        fetched.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+        k, iters)
+    else trainIvfCentroidsShuffle(emb, idCol, vecCol, k, iters)
+  }
+
+  /** Past-the-gate distributed trainer (unchanged shape); package-private
+    * so the parity spec can pin local == distributed on one frame.
+    */
+  private[graft] def trainIvfCentroidsShuffle(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
     graft.plans.VecCosine.register(emb.sparkSession)
     val dim = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
     val seeds = emb
