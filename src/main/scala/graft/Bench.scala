@@ -265,9 +265,22 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val retimedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // drop leaked cache blocks + one GC pass before the first retime
+    // (r16, r15 verdict item 6: q_knn_join_ivf read 5.96 s in the driver
+    // run vs 0.69-1.05 s everywhere else — catalog self-load, exactly
+    // what the largeSf heavy-retime path already drains; retimes stay
+    // real re-measurements, just against a drained box)
+    lazy val retimeDrain: Unit = {
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(1000)
+    }
     val resultsCommittedPass = firstPass.map { case (name, best, err) =>
       committed.get(name) match {
         case Some(c) if err.isEmpty && best > 1.5 * c && best > 0.1 =>
+          retimeDrain
           val (again, e2) = timeOnce(name, selected(name))
           // record the retime either way: a still-slow entry is then
           // readable as "re-examined, genuinely slow", not contention

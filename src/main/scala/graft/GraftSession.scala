@@ -48,6 +48,29 @@ object GraftSession {
     // genuinely massive path counts.
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
       sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"))
+    // Generated-code cache (r16, guide §1.2 step 3 — config only after
+    // the algorithms): janino compilation is pure DRIVER-side latency
+    // (~10-60 ms per fragment) and the default 100-entry LRU thrashes in
+    // any session that executes more than a handful of distinct plans —
+    // this 170-query catalog generates ~1.5k fragments, so every repeat
+    // recompiles nearly everything; a production cluster session with
+    // the same shape (Thrift server, scheduled ETL DAG, notebook) pays
+    // identically, and the cache costs only driver memory (compiled
+    // classes, ~tens of KB each — ~200 MB worst case at 4096). Nothing
+    // about task execution changes, so this is not a local[32]-only
+    // tweak. Static conf: must be set before the first session.
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+    // executeTake first-wave size (r16): every size-gate probe in the
+    // engine is a `limit(gate+1).collect()` whose expected outcome is
+    // either "the whole (small) result" or a fast overshoot — the
+    // default first wave of 1 partition forces a 1 → 4 → 16 → … job-wave
+    // ramp (spark.sql.limit.scaleUpFactor), each wave a sequential
+    // driver round-trip, on EVERY probe at ANY cluster size. Size the
+    // first wave to the session's parallelism instead: wave-1 cost is
+    // bounded at one task per core, and a gate-sized result arrives in
+    // one wave. Tracks core count, not a local constant.
+    .config("spark.sql.limit.initialNumPartitions", DefaultCpus)
     .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -68,7 +68,9 @@ object R15Profile {
     // warmup (JIT/codegen/IO), same as Bench
     spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r15"))
+    // plan dumps land in the round's deliverable dir (r16: plans/r16)
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r15")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(plansDir))
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       // pass 1: warm, also the plan snapshot after execution (AQE final)
@@ -77,7 +79,7 @@ object R15Profile {
       if (!compact) {
         val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"plans/r15/${name}_$tag.txt"),
+          java.nio.file.Paths.get(s"$plansDir/${name}_$tag.txt"),
           plan.getBytes("UTF-8"))
       }
       // pass 2: timed with job breakdown

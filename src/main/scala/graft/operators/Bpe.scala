@@ -61,13 +61,17 @@ object Bpe {
     * Spark/DuckDB `replace`). Returns (round, pair, merged, cnt) plus
     * the per-round spelled histogram for the compression curve.
     */
-  private def localMergeLoop(words: Array[(String, Long)], nMerges: Int):
+  private def localMergeLoop(words: Array[(String, Long)], nMerges: Int,
+      collectStages: Boolean = true):
       (Seq[(Long, String, String, Long)], Array[Array[(String, Long)]]) = {
     // spell as space-separated single-char symbols (ASCII tokens, so
     // char-join == the regexp_replace spelling)
     var cur = words.map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+    // collectStages=false (r15 ADVICE): trainMerges discards the per-round
+    // histogram snapshots — don't hold nMerges+1 vocabulary-sized arrays
+    // live on the driver for a caller that never reads them
     val stages = Array.newBuilder[Array[(String, Long)]]
-    stages += cur
+    if (collectStages) stages += cur
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to nMerges) {
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
@@ -85,7 +89,7 @@ object Bpe {
         val merged = pair.replace(" ", "")
         merges += ((r.toLong, pair, merged, cnt))
         cur = cur.map { case (s, c) => (s.replace(pair, merged), c) }
-        stages += cur
+        if (collectStages) stages += cur
       }
     }
     (merges.result(), stages.result())
@@ -108,7 +112,8 @@ object Bpe {
     try {
       collectHist(histW) match {
         case Some(words) =>
-          val (merges, _) = localMergeLoop(words, nMerges)
+          val (merges, _) = localMergeLoop(words, nMerges,
+            collectStages = false)
           spark.createDataFrame(merges)
             .toDF("round", "pair", "merged", "cnt")
             .orderBy($"round")

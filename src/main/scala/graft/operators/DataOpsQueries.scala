@@ -32,19 +32,22 @@ object DataOpsQueries {
   private[graft] def idSampleSql(col: String): String =
     s"($col % 2147483648) * 2654435761 % 4294967296 < 1073741824"
 
-  /** NOTE (r15, negative result): building each eval query's two
-    * independent arms CONCURRENTLY (guide §2.6) was implemented and
-    * REVERTED. With both arms persisting, broadcasting and unpersisting
-    * against one session, the exact containment arm's verify join
-    * intermittently emitted ~10× duplicated rows (reproduced
-    * deterministically at sf0.01: n_exact_sample 101 vs truth 10
-    * whenever q_dedup_containment ran earlier in the session; the same
-    * code sequential is always correct). The suspected mechanism is the
-    * optimizer's cached-plan substitution (`useCachedData`) racing the
-    * other arm's persist/unpersist during compile + broadcast build.
-    * Overlap survives only where the cache registry is stable for the
-    * whole overlapped window (see Dedup's paired materialization
-    * counts).
+  /** ARM-OVERLAP HISTORY. r15: building each eval query's two arms
+    * CONCURRENTLY (guide §2.6) was reverted — with both arms persisting,
+    * broadcasting and unpersisting against one session, the exact
+    * containment arm's verify join intermittently emitted ~10×
+    * duplicated rows (reproduced at sf0.01: n_exact_sample 101 vs truth
+    * 10 whenever q_dedup_containment ran earlier in the session; the
+    * same code sequential is always correct). Mechanism: the optimizer's
+    * cached-plan substitution (`useCachedData`) racing the other arm's
+    * persist/unpersist during compile. r16: overlap RE-INTRODUCED in the
+    * structurally safe form ([[Dedup.planLock]]): every catalyst compile
+    * and cache-registry mutation is serialized under one lock, only
+    * stage execution overlaps, and overlapped arms never register
+    * identically-shaped caches (the containment evals share ONE
+    * deliberately shared `all` frame released after both arms).
+    * Re-verified with graft.R15Race3 (the kept reproducer) and a full
+    * in-session Verify; SPARK_GRAFT_NO_ARM_OVERLAP=1 is the kill-switch.
     */
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -123,19 +126,17 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
-    // NOTE (r15): building the two arms CONCURRENTLY (guide §2.6) was
-    // tried and REVERTED — with both arms persisting/unpersisting and
-    // broadcasting against one session, the exact arm's verify join
-    // intermittently emitted duplicated rows (reproduced: n_exact 101
-    // vs truth 10 at sf0.01 when another containment query preceded it;
-    // sequential runs are always correct). Arms stay sequential; the
-    // per-arm job-count reductions in Dedup carry the win instead.
-    val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
-      num = 4, den = 5, preHashed = true)
-      .select($"doc_sub", $"doc_sup")
-    val banded = Dedup.containmentPairsBanded(docs, "doc_id", "sh",
-      num = 4, den = 5, preHashed = true, queryCap = 8)
-      .select($"doc_sub", $"doc_sup")
+    // ARMS OVERLAPPED over ONE shared shingle cache (r16, VERDICT r15
+    // item 1). The r15 unrestricted overlap was reverted for a
+    // reproduced duplicate-row race (cached-plan substitution racing the
+    // other arm's persist/unpersist); this form serializes every compile
+    // and registry mutation under Dedup.planLock and overlaps only
+    // stage execution — see Dedup.containmentEvalArms / Dedup.planLock.
+    // Verified by graft.R15Race3 + full-catalog in-session Verify.
+    val (exact0, banded0) = Dedup.containmentEvalArms(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true, bandedQueryCap = Some(8))
+    val exact = exact0.select($"doc_sub", $"doc_sup")
+    val banded = banded0.select($"doc_sub", $"doc_sup")
     val nE = exact.agg(count(lit(1)).as("n_exact_sample"))
     val nB = banded.agg(count(lit(1)).as("n_banded_sample"))
     val nM = exact.join(banded, Seq("doc_sub", "doc_sup"), "left_anti")
@@ -167,14 +168,12 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir).filter(idSample($"doc_id"))
       .localCheckpoint(true)
-    // arms sequential — see the concurrency note in
-    // [[qContainmentEvalSampled]] (reproduced duplicate-row race)
-    val exact = Dedup.containmentPairsExact(docs, "doc_id", "sh",
-      num = 4, den = 5, preHashed = true)
-      .select($"doc_sub", $"doc_sup")
-    val lsh = Dedup.containmentPairsLsh(docs, "doc_id", "sh",
-      num = 4, den = 5, preHashed = true)
-      .select($"doc_sub", $"doc_sup")
+    // arms OVERLAPPED over one shared shingle cache — see the safety
+    // note in [[qContainmentEvalSampled]]
+    val (exact0, lsh0) = Dedup.containmentEvalArms(docs, "doc_id", "sh",
+      num = 4, den = 5, preHashed = true, bandedQueryCap = None)
+    val exact = exact0.select($"doc_sub", $"doc_sup")
+    val lsh = lsh0.select($"doc_sub", $"doc_sup")
     val nE = exact.agg(count(lit(1)).as("n_exact_sample"))
     val nB = lsh.agg(count(lit(1)).as("n_lsh_sample"))
     val nM = exact.join(lsh, Seq("doc_sub", "doc_sup"), "left_anti")
@@ -224,27 +223,26 @@ object DataOpsQueries {
       array((0 until 6).map(c =>
         struct(lit(c).as("ck"),
           shiftright(sim, c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
-    // arms sequential — see the concurrency note in
-    // [[qContainmentEvalSampled]]
-    val sh = {
-      val sigs = Sources.documents(s, dir)
-        .select($"doc_id", graft.plans.SimHashBits.simhashBits(
-          graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
-        .localCheckpoint(true)
-      val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
-        .select($"doc_id", $"sim", $"b.ck", $"b.cv")
-      val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
-      banded.join(other, Seq("ck", "cv"))
-        .filter($"doc_id" < $"doc_id_b")
-        .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
-        .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
-        .distinct()
-        .localCheckpoint(true)
-    }
-    val exact = Dedup.jaccardPairs(withHashedShingles(s, dir), "doc_id", "sh",
-      Seq.empty, 0.5, preHashed = true)
-      .select($"doc_a", $"doc_b")
-      .localCheckpoint(true)
+    // arms OVERLAPPED (r16) — see the safety note in
+    // [[qContainmentEvalSampled]]; the SimHash chain checkpoints, never
+    // persists, so the arms share no cached frame
+    val (sh, exact) = Dedup.overlapArms(
+      {
+        val sigs = Dedup.lockedCheckpoint(Sources.documents(s, dir)
+          .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+            graft.plans.ShingleHashes.tokenHashes($"text")).as("sim")))
+        val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
+          .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+        val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+        Dedup.lockedCheckpoint(banded.join(other, Seq("ck", "cv"))
+          .filter($"doc_id" < $"doc_id_b")
+          .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+          .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+          .distinct())
+      },
+      Dedup.jaccardPairs(withHashedShingles(s, dir), "doc_id", "sh",
+        Seq.empty, 0.5, preHashed = true)
+        .select($"doc_a", $"doc_b"))
     val both = sh.join(exact, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
     sh.agg(count(lit(1)).as("n_simhash"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
@@ -271,29 +269,27 @@ object DataOpsQueries {
       array((0 until 6).map(c =>
         struct(lit(c).as("ck"),
           shiftright(sim, c * 10).bitwiseAND(lit(1023L)).as("cv"))): _*)
-    // arms sequential — see the concurrency note in
+    // arms OVERLAPPED (r16) — see the safety note in
     // [[qContainmentEvalSampled]]
-    val sh = {
-      val sigs = Sources.documents(s, dir)
-        .select($"doc_id", graft.plans.SimHashBits.simhashBits(
-          graft.plans.ShingleHashes.tokenHashes($"text")).as("sim"))
-        .localCheckpoint(true)
-      val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
-        .select($"doc_id", $"sim", $"b.ck", $"b.cv")
-      val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
-      banded.join(other, Seq("ck", "cv"))
-        .filter($"doc_id" < $"doc_id_b")
-        .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
-        .filter(idSample($"doc_id") && idSample($"doc_id_b"))
-        .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
-        .distinct()
-        .localCheckpoint(true)
-    }
-    val exact = Dedup.jaccardPairs(
-      withHashedShingles(s, dir).filter(idSample($"doc_id")),
-      "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
-      .select($"doc_a", $"doc_b")
-      .localCheckpoint(true)
+    val (sh, exact) = Dedup.overlapArms(
+      {
+        val sigs = Dedup.lockedCheckpoint(Sources.documents(s, dir)
+          .select($"doc_id", graft.plans.SimHashBits.simhashBits(
+            graft.plans.ShingleHashes.tokenHashes($"text")).as("sim")))
+        val banded = sigs.select($"doc_id", $"sim", explode(chunksOf($"sim")).as("b"))
+          .select($"doc_id", $"sim", $"b.ck", $"b.cv")
+        val other = banded.toDF("doc_id_b", "sim_b", "ck", "cv")
+        Dedup.lockedCheckpoint(banded.join(other, Seq("ck", "cv"))
+          .filter($"doc_id" < $"doc_id_b")
+          .filter(bit_count($"sim".bitwiseXOR($"sim_b")) <= 5)
+          .filter(idSample($"doc_id") && idSample($"doc_id_b"))
+          .select($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))
+          .distinct())
+      },
+      Dedup.jaccardPairs(
+        withHashedShingles(s, dir).filter(idSample($"doc_id")),
+        "doc_id", "sh", Seq.empty, 0.5, preHashed = true)
+        .select($"doc_a", $"doc_b"))
     val both = sh.join(exact, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("n_both_sample"))
     sh.agg(count(lit(1)).as("n_simhash_sample"))
@@ -545,14 +541,17 @@ object DataOpsQueries {
   def qMinhashEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = withHashedShingles(s, dir)
-    // arms sequential — see the concurrency note in
-    // [[qContainmentEvalSampled]]
-    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
-      .select($"doc_a", $"doc_b")
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
-      preHashed = true)
-      .select($"doc_a", $"doc_b")
+    // arms OVERLAPPED (r16) — compiles/persists serialized under
+    // Dedup.planLock, execution concurrent; the arms share no cached
+    // frame (raw vs sorted shingle projections differ). See the safety
+    // note in [[qContainmentEvalSampled]].
+    val (lsh0, exact0) = Dedup.overlapArms(
+      Dedup.minhashLshPairs(docs, "doc_id", "sh",
+        numHashes = 64, bands = 16, threshold = 0.5, preHashed = true),
+      Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+        preHashed = true))
+    val lsh = lsh0.select($"doc_a", $"doc_b")
+    val exact = exact0.select($"doc_a", $"doc_b")
     val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -575,15 +574,16 @@ object DataOpsQueries {
     import s.implicits._
     val docs = withHashedShingles(s, dir)
     val sampled = docs.filter(idSample($"doc_id"))
-    // arms sequential — see the concurrency note in
+    // arms OVERLAPPED (r16) — see the safety note in
     // [[qContainmentEvalSampled]]
-    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "sh",
-      numHashes = 64, bands = 16, threshold = 0.5, preHashed = true)
-      .select($"doc_a", $"doc_b")
+    val (lsh0, exact0) = Dedup.overlapArms(
+      Dedup.minhashLshPairs(docs, "doc_id", "sh",
+        numHashes = 64, bands = 16, threshold = 0.5, preHashed = true),
+      Dedup.jaccardPairs(sampled, "doc_id", "sh", Seq.empty, 0.5,
+        preHashed = true))
+    val lsh = lsh0.select($"doc_a", $"doc_b")
       .filter(idSample($"doc_a") && idSample($"doc_b"))
-    val exact = Dedup.jaccardPairs(sampled, "doc_id", "sh", Seq.empty, 0.5,
-      preHashed = true)
-      .select($"doc_a", $"doc_b")
+    val exact = exact0.select($"doc_a", $"doc_b")
     val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact_sample"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh_sample")))
@@ -769,16 +769,17 @@ object DataOpsQueries {
       sfx: String): DataFrame = {
     import s.implicits._
     val docs = docsIn.localCheckpoint(true)
-    val hashed = docs.select($"doc_id", $"sh".as("_sh"))
-      .persist(Dedup.pairStorage)
+    val hashed = Dedup.lockedPersist(docs.select($"doc_id", $"sh".as("_sh")))
     try {
-      // arms sequential — see the concurrency note in
+      // arms OVERLAPPED (r16): the signature pass and the exact AllPairs
+      // chain are independent — see the safety note in
       // [[qContainmentEvalSampled]]
-      val signed = Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)
-        .localCheckpoint(true)
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
-        preHashed = true)
-        .agg(count(lit(1)).as(s"n_exact$sfx"))
+      val (signed, exactPairs) = Dedup.overlapArms(
+        Dedup.lockedCheckpoint(
+          Dedup.minhashSigs(hashed, "doc_id", numHashes = 64)),
+        Dedup.jaccardPairs(docs, "doc_id", "sh", Seq.empty, 0.5,
+          preHashed = true))
+      val exact = exactPairs.agg(count(lit(1)).as(s"n_exact$sfx"))
       val jac = size(array_intersect($"_sh", $"_sh_b")).cast("double") /
         size(array_union($"_sh", $"_sh_b"))
       val rows = Seq(8, 16, 32).map { b =>
@@ -794,14 +795,13 @@ object DataOpsQueries {
           .agg(count(lit(1)).as(s"n_lsh$sfx"))
           .select(lit(b.toLong).as("bands"), col(s"n_lsh$sfx"))
       }
-      rows.reduce(_.unionByName(_))
+      Dedup.lockedCheckpoint(rows.reduce(_.unionByName(_))
         .crossJoin(broadcast(exact))
         .select($"bands", col(s"n_lsh$sfx"), col(s"n_exact$sfx"),
           expr(s"n_lsh$sfx * 1000000L DIV greatest(n_exact$sfx, 1)")
             .as("rec_ppm"))
-        .orderBy($"bands")
-        .localCheckpoint(true)
-    } finally hashed.unpersist()
+        .orderBy($"bands"))
+    } finally Dedup.lockedUnpersist(hashed)
   }
 
   /** SAMPLED band-configuration sweep — the 100 TB form of [[qLshSweep]],
@@ -870,10 +870,17 @@ object DataOpsQueries {
       .select($"doc_id",
         explode(graft.plans.WinnowHashes.winnowHashes($"text")).as("fp"))
       .localCheckpoint(true)
-    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" <= 100).select($"fp")
-    val kept = fps.join(rare, "fp")
-    val other = kept.toDF("fp", "doc_id_b")
+    // df-cap as a count window over fp (r16, the dfOrderedPosts fusion):
+    // the former groupBy(fp) + join-back shuffled the postings by fp for
+    // the join anyway — annotating in place drops the aggregate and the
+    // join, and the window output stays hash-partitioned by fp, so the
+    // posting self-join below needs NO further exchange. Row semantics
+    // identical: count(*) per fp over the same exploded rows.
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .filter($"df" <= 100).select($"doc_id", $"fp")
+    val other = kept.toDF("doc_id_b", "fp")
     kept.join(other, "fp")
       .filter($"doc_id" < $"doc_id_b")
       .groupBy($"doc_id".as("doc_a"), $"doc_id_b".as("doc_b"))

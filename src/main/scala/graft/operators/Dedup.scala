@@ -137,12 +137,13 @@ object Dedup {
       else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
     if (!collapseExactDups || (pairPredicate.isDefined && collapseKeys.isEmpty)) {
       // legacy path: predicate without a group-homogeneity contract
-      val base = docs.select((bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
-        .withColumn("_n", size(col("_sh")))
-        .persist(Dedup.pairStorage)
-      try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate)
-        .localCheckpoint(true) // materialize (pairs ≪ corpus) so the cache can go
-      finally base.unpersist()
+      val base = lockedPersist(docs.select(
+        (bandCols :+ idCol).map(col) :+ sh.as("_sh"): _*)
+        .withColumn("_n", size(col("_sh"))))
+      // materialize (pairs ≪ corpus) so the cache can go
+      try lockedCheckpoint(
+        jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate))
+      finally lockedUnpersist(base)
     } else {
       // EXACT-DUPLICATE COLLAPSE (round 12, the containmentPairs pattern):
       // Jaccard is a function of the two shingle SETS, so identical
@@ -152,10 +153,9 @@ object Dedup {
       // pays 1 candidate+verify unit instead of g²; an all-distinct
       // corpus pays two linear co-partitioned shuffles on _sh.
       val ckNames = collapseKeys.indices.map(i => s"_ck$i")
-      val all = docs.select(bandCols.map(col) ++ Seq(col(idCol)) ++
+      val all = lockedPersist(docs.select(bandCols.map(col) ++ Seq(col(idCol)) ++
         collapseKeys.zip(ckNames).map { case (c, n) => c.as(n) } :+
-        sh.as("_sh"): _*)
-        .persist(Dedup.pairStorage)
+        sh.as("_sh"): _*))
       // DUP-RATE GATE (the autoBanding pattern — decide the shape from a
       // cheap corpus stat): the collapse's array-keyed groupBy + mapping
       // join cost ~15-20% of the whole pair job on an all-distinct
@@ -178,10 +178,10 @@ object Dedup {
         case Some("force") => false
         case Some("off") => true
         case _ =>
-          val probe = all.agg(count(lit(1)).as("n"),
+          val probe = lockedHead(all.agg(count(lit(1)).as("n"),
             countDistinct(struct((bandCols ++ ckNames).map(col) :+
               xxhash64(col("_sh")): _*)).as("d"),
-            coalesce(sum(size(col("_sh"))), lit(0L)).as("p")).head
+            coalesce(sum(size(col("_sh"))), lit(0L)).as("p")))
           val nDocs = probe.getLong(0)
           val nSets = probe.getLong(1)
           sideBytes = Some(nDocs * 24L + probe.getLong(2) * 8L)
@@ -194,10 +194,9 @@ object Dedup {
         val base = all
           .select((bandCols :+ idCol).map(col) :+ col("_sh"): _*)
           .withColumn("_n", size(col("_sh")))
-        try jaccardPairsOn(base, idCol, bandCols, threshold, pairPredicate,
-          sideBytes)
-          .localCheckpoint(true)
-        finally { all.unpersist(): Unit }
+        try lockedCheckpoint(jaccardPairsOn(base, idCol, bandCols, threshold,
+          pairPredicate, sideBytes))
+        finally lockedUnpersist(all)
       } else collapsedJaccardPairs(all, idCol, bandCols, threshold,
         pairPredicate, ckNames)
     }
@@ -213,19 +212,17 @@ object Dedup {
       val gKeys = (bandCols ++ ckNames) :+ "_sh"
       val repTab = all.groupBy(gKeys.map(col): _*)
         .agg(min(col(idCol)).as("_rep"))
-      val base = repTab
+      val base = lockedPersist(repTab
         .select(bandCols.map(col) ++ Seq(col("_rep").as(idCol), col("_sh")): _*)
-        .withColumn("_n", size(col("_sh")))
-        .persist(Dedup.pairStorage)
-      val mapping = all.join(repTab, gKeys)
-        .select(col(idCol).as("_m"), col("_rep"))
-        .persist(Dedup.pairStorage)
+        .withColumn("_n", size(col("_sh"))))
+      val mapping = lockedPersist(all.join(repTab, gKeys)
+        .select(col(idCol).as("_m"), col("_rep")))
       // release the corpus-scale source cache once the two derived caches
       // exist — every later read is off base or mapping (see
       // collapsedContainmentPairs for the measured pressure rationale);
       // r15: the two independent materialization jobs run concurrently
-      inParallel(base.count(), mapping.count())
-      all.unpersist()
+      inParallel(lockedCount(base), lockedCount(mapping))
+      lockedUnpersist(all)
       try {
         val repPairs = jaccardPairsOn(base, idCol, bandCols, threshold,
           pairPredicate)
@@ -254,16 +251,15 @@ object Dedup {
         // inside jaccardPairsOn still evaluates the predicate at REP ids
         // under rep ordering — sound because the collapseKeys contract
         // below also requires symmetry in the two sides.)
-        cross.unionAll(within)
+        lockedCheckpoint(cross.unionAll(within)
           .select(least(col(idCol), col(s"${idCol}_b")).as(idCol),
             greatest(col(idCol), col(s"${idCol}_b")).as(s"${idCol}_b"),
             col("jaccard"))
           .filter(pairPredicate.getOrElse(lit(true)))
           .select(col(idCol).as("doc_a"), col(s"${idCol}_b").as("doc_b"),
-            col("jaccard"))
-          .localCheckpoint(true)
+            col("jaccard")))
       } finally {
-        base.unpersist(); mapping.unpersist(); all.unpersist(): Unit
+        lockedUnpersist(base); lockedUnpersist(mapping); lockedUnpersist(all)
       }
     }
   }
@@ -304,9 +300,16 @@ object Dedup {
     val posts = base.select(
       (bandCols.map(col) :+ col(idCol)) :+ col("_n") :+
         explode(col("_sh")).as("_h"): _*)
-    // _sh is distinct per doc, so count(*) per hash IS document frequency
-    val dfTab = posts.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-    posts.join(dfTab, "_h")
+    // _sh is distinct per doc, so count(*) per hash IS document frequency.
+    // r16: _df is a count window over _h instead of the former
+    // groupBy(_h) + join-back — the join side had to shuffle every
+    // posting by _h anyway, so annotating in place drops one Exchange +
+    // one full posting scan from every posting query's plan while
+    // producing the identical per-hash count (the aggregate-then-annotate
+    // fusion of VERDICT r15 item 3). The global (df, h) order — and with
+    // it every `_pos` rank and prefix length — is unchanged.
+    posts
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_h"))))
       .withColumn("_pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_h"))))
       // df<2 postings can never match across documents (any shared hash
@@ -370,7 +373,7 @@ object Dedup {
     * rows x fixed row overhead + total array elements x 8.
     */
   private def arraySideBytes(base: DataFrame): Long = {
-    val st = base.agg(count(lit(1)).as("n"), sum(col("_n")).as("p")).head
+    val st = lockedHead(base.agg(count(lit(1)).as("n"), sum(col("_n")).as("p")))
     st.getLong(0) * 24L + (if (st.isNullAt(1)) 0L else st.getLong(1) * 8L)
   }
 
@@ -456,9 +459,9 @@ object Dedup {
     // chosen arm (r15): the former all-then-base persist pair cost an
     // extra materialization job + a second array-heavy cache per call
     // on the exact path for an identical frame
-    val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
-      .as("_sh")).withColumn("_n", size(col("_sh")))
-      .persist(Dedup.pairStorage)
+    val all = lockedPersist(docs.select(col(idCol),
+      hashedSetCol(shingleCol, preHashed)
+      .as("_sh")).withColumn("_n", size(col("_sh"))))
     // ARM GATE (round 15, r14 verdict item 2 — the r14 `weak` row): the
     // exact posting join is lossless ground truth but its candidate mass
     // on DENSE-df corpora is quadratic (true-pair shingle df ∝ corpus ⇒
@@ -494,9 +497,9 @@ object Dedup {
           // distinct-set postings ≈ p·d/n (exact when n = d; dup copies
           // carry the same set sizes on average), one HLL pass for the
           // distinct-shingle count
-          val distinctSh = all
+          val distinctSh = lockedHead(all
             .select(explode(col("_sh")).as("_h"))
-            .agg(approx_count_distinct(col("_h"))).head.getLong(0)
+            .agg(approx_count_distinct(col("_h")))).getLong(0)
           val avgDf =
             if (distinctSh == 0L) 0.0
             else (p.toDouble * d / math.max(1L, n)) / distinctSh
@@ -522,9 +525,9 @@ object Dedup {
       preHashed: Boolean = false): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    val all = docs.select(col(idCol), hashedSetCol(shingleCol, preHashed)
-      .as("_sh")).withColumn("_n", size(col("_sh")))
-      .persist(Dedup.pairStorage)
+    val all = lockedPersist(docs.select(col(idCol),
+      hashedSetCol(shingleCol, preHashed)
+      .as("_sh")).withColumn("_n", size(col("_sh"))))
     exactContainmentPairs(all, idCol, num, den, None)
   }
 
@@ -544,9 +547,93 @@ object Dedup {
   // queries): docs, distinct sets (hash of the set so nothing array-keyed
   // shuffles; a collision only under-counts), total postings
   private def containmentProbe(all: DataFrame): org.apache.spark.sql.Row =
-    all.agg(count(lit(1)).as("n"),
+    lockedHead(all.agg(count(lit(1)).as("n"),
       countDistinct(xxhash64(col("_sh"))).as("d"),
-      coalesce(sum(col("_n")), lit(0L)).as("p")).head
+      coalesce(sum(col("_n")), lit(0L)).as("p")))
+
+  /** GLOBAL PLAN LOCK (r16, VERDICT r15 item 1). The r15 arm-overlap race
+    * (exact containment verify intermittently emitting ~10× duplicated
+    * rows, reproducer graft.R15Race3) is attributed to catalyst COMPILES
+    * — specifically the `withCachedData` cached-plan substitution —
+    * racing the other arm's cache-registry mutations
+    * (persist/unpersist). The fix is structural, not a sleep: every
+    * compile and every registry mutation in the pair family goes through
+    * this lock, and only RDD/stage-level EXECUTION overlaps. Forcing
+    * `queryExecution.executedPlan` under the lock pins the whole
+    * analyze → withCachedData → optimize → physical-plan chain (with AQE
+    * this does NOT run stages — AdaptiveSparkPlanExec construction is
+    * lazy; stage materialization happens at execute, outside the lock);
+    * the subsequent action on the SAME Dataset reuses that
+    * QueryExecution, so nothing recompiles outside the lock. Overlapped
+    * arms additionally share no identically-shaped private cache (the
+    * one shared frame, `all`, is persisted by the caller and released
+    * only after both arms), so no arm can unpersist a cache the other's
+    * running plan substituted. Sequential callers pay one uncontended
+    * monitor acquisition.
+    */
+  private[graft] val planLock = new Object
+
+  /** Compile under [[planLock]], collect outside it. `df.collect()`
+    * reuses this Dataset's own QueryExecution, so the forced
+    * executedPlan is exactly what runs.
+    */
+  private[graft] def lockedRows(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    planLock.synchronized { df.queryExecution.executedPlan }
+    df.collect()
+  }
+
+  private[graft] def lockedHead(df: DataFrame): org.apache.spark.sql.Row =
+    lockedRows(df).head
+
+  /** count() compiles a separate aggregate plan — route it through the
+    * same compile-under-lock discipline.
+    */
+  private[graft] def lockedCount(df: DataFrame): Long =
+    lockedHead(df.groupBy().count()).getLong(0)
+
+  /** Eager localCheckpoint with the compile under [[planLock]] and the
+    * checkpoint job (the arm's long pole) outside it.
+    */
+  private[graft] def lockedCheckpoint(df: DataFrame): DataFrame = {
+    planLock.synchronized { df.queryExecution.executedPlan }
+    df.localCheckpoint(true)
+  }
+
+  /** persist registers the plan in the shared CacheManager and compiles
+    * the cached representation — a registry mutation AND a compile; both
+    * belong under the lock. Same for unpersist (registry removal).
+    */
+  private[graft] def lockedPersist(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel = pairStorage): DataFrame =
+    planLock.synchronized { df.persist(level) }
+
+  private[graft] def lockedUnpersist(df: DataFrame): Unit =
+    planLock.synchronized { df.unpersist(): Unit }
+
+  /** Run two independent ARM pipelines concurrently (guide §2.6; VERDICT
+    * r15 item 1 — the safe re-introduction of the r15 reverted overlap).
+    * Arms must route every compile / persist / unpersist / checkpoint
+    * through the locked helpers above. `SPARK_GRAFT_NO_ARM_OVERLAP=1`
+    * forces sequential construction (A/B + incident kill-switch).
+    * On failure of `fa` the helper still awaits `fb` before propagating,
+    * so no arm ever outlives the call into the caller's cleanup.
+    */
+  private[graft] def overlapArms[A, B](fa: => A, fb: => B): (A, B) = {
+    if (sys.env.contains("SPARK_GRAFT_NO_ARM_OVERLAP")) { val a = fa; (a, fb) }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f = Future(fb)
+      val a =
+        try fa
+        catch { case t: Throwable =>
+          try Await.ready(f, Duration.Inf) catch { case _: Throwable => () }
+          throw t
+        }
+      (a, Await.result(f, Duration.Inf))
+    }
+  }
 
   /** Run two independent eager pipeline pieces concurrently (guide
     * §2.6) — `b` on a pool thread, `a` on the caller's. Used where two
@@ -560,9 +647,55 @@ object Dedup {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val f = Future(fb)
-      val a = fa
+      // r16 (r15 ADVICE): if fa throws, STILL await fb before propagating
+      // — otherwise fb's job outlives the call into the caller's finally
+      // unpersist block, recreating exactly the concurrent
+      // action-vs-registry-mutation window this helper is documented to
+      // avoid. fb's own failure is secondary to fa's.
+      val a =
+        try fa
+        catch { case t: Throwable =>
+          try Await.ready(f, Duration.Inf) catch { case _: Throwable => () }
+          throw t
+        }
       (a, Await.result(f, Duration.Inf))
     }
+  }
+
+  /** Both arms of a sampled containment recall eval over ONE shared
+    * (id, _sh, _n) cache and ONE gate aggregate, constructed
+    * CONCURRENTLY (r16, VERDICT r15 item 1 — the safe re-introduction of
+    * the r15 reverted overlap; see [[planLock]] for why this is now
+    * sound). The r15 sequential form persisted the identical
+    * shingle-array frame twice (once per arm) and probed it twice; here
+    * the exact arm and the banded/LSH arm read one cache that outlives
+    * both, and the only cross-arm-visible registry entry is exactly that
+    * deliberately shared frame. Returns (exactPairs, otherPairs), both
+    * eagerly checkpointed.
+    */
+  private[graft] def containmentEvalArms(docs: DataFrame, idCol: String,
+      shingleCol: String, num: Int, den: Int, preHashed: Boolean,
+      bandedQueryCap: Option[Int]): (DataFrame, DataFrame) = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    graft.plans.SortedIntersectCount.register(docs.sparkSession)
+    val all = lockedPersist(docs.select(col(idCol),
+      hashedSetCol(shingleCol, preHashed).as("_sh"))
+      .withColumn("_n", size(col("_sh"))))
+    try {
+      // one aggregate: gate stats for the exact arm's dup-rate gate +
+      // the verify byte estimate; its scan materializes the shared cache
+      // BEFORE the arms fork, so neither arm races the other populating it
+      val probe = containmentProbe(all)
+      overlapArms(
+        exactContainmentPairs(all, idCol, num, den, Some(probe),
+          ownsAll = false),
+        bandedQueryCap match {
+          case Some(qc) => collapsedContainmentPairs(all, idCol, num, den,
+            caps = Some((qc, 0L)), ownsAll = false)
+          case None => collapsedContainmentPairs(all, idCol, num, den,
+            lshBands = Some((0, 0)), ownsAll = false)
+        })
+    } finally lockedUnpersist(all)
   }
 
   /** The exact arm's body: dup-rate collapse gate, then the lossless
@@ -570,9 +703,14 @@ object Dedup {
     * [[collapsedContainmentPairs]]). `probed` reuses the arm gate's
     * aggregate when [[containmentPairs]] already ran it.
     */
-  private def exactContainmentPairs(all: DataFrame, idCol: String,
+  /** `ownsAll = false` (r16): the caller owns the persisted `all` cache
+    * (shared-arm evals keep it alive for the other arm) — this function
+    * then never unpersists it.
+    */
+  private[graft] def exactContainmentPairs(all: DataFrame, idCol: String,
       num: Int, den: Int,
-      probed: Option[org.apache.spark.sql.Row]): DataFrame = {
+      probed: Option[org.apache.spark.sql.Row],
+      ownsAll: Boolean = true): DataFrame = {
     // EXACT-DUPLICATE COLLAPSE (round-12: ContainmentDecomp measured the
     // sf4-replica wall 85% in the verify join over 181M candidates, and
     // replica cliques are the candidate mass): containment is a function
@@ -620,8 +758,7 @@ object Dedup {
       // boundary is unchanged, only the redundant second copy and its
       // materialization job are gone.)
       val base = all
-      val ranked = dfOrderedPosts(base, idCol, Seq.empty)
-        .persist(Dedup.pairStorage)
+      val ranked = lockedPersist(dfOrderedPosts(base, idCol, Seq.empty))
       try {
         val candidates = containmentCandidates(base, idCol, num, den,
           rankedPosts = Some(ranked))
@@ -635,7 +772,7 @@ object Dedup {
         val sideBytes = probeRow
           .map(r => r.getLong(0) * 24L + r.getLong(2) * 8L)
           .getOrElse(arraySideBytes(base))
-        candidates.join(verifySide(aSide, sideBytes), "_a")
+        lockedCheckpoint(candidates.join(verifySide(aSide, sideBytes), "_a")
           .join(verifySide(bSide, sideBytes), "_b")
           .withColumn("_c",
             graft.plans.SortedIntersectCount.count(col("_sh_a"), col("_sh_b")))
@@ -643,12 +780,13 @@ object Dedup {
           .select(col("_a").as("doc_sub"), col("_b").as("doc_sup"),
             col("_c").cast("long").as("common"),
             col("_n_a").cast("long").as("size_sub"),
-            (col("_c").cast("double") / col("_n_a")).as("containment"))
-          .localCheckpoint(true)
+            (col("_c").cast("double") / col("_n_a")).as("containment")))
       } finally {
-        ranked.unpersist(); base.unpersist(); all.unpersist(): Unit
+        lockedUnpersist(ranked)
+        // base == all on this path: one cache, released only by its owner
+        if (ownsAll) lockedUnpersist(all)
       }
-    } else collapsedContainmentPairs(all, idCol, num, den)
+    } else collapsedContainmentPairs(all, idCol, num, den, ownsAll = ownsAll)
   }
 
   /** BANDED containment near-dup pairs — the corpus-scale production arm
@@ -683,11 +821,8 @@ object Dedup {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
     require(queryCap > 0, "queryCap must be positive")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    val sh =
-      if (preHashed) array_sort(array_compact(col(shingleCol)))
-      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
-    val all = docs.select(col(idCol), sh.as("_sh"))
-      .persist(Dedup.pairStorage)
+    val all = lockedPersist(docs.select(col(idCol),
+      hashedSetCol(shingleCol, preHashed).as("_sh")))
     collapsedContainmentPairs(all, idCol, num, den,
       caps = Some((queryCap, dfCap)))
   }
@@ -740,11 +875,8 @@ object Dedup {
     require(numHashes == 0 || numHashes % bands == 0,
       "bands must divide numHashes")
     graft.plans.SortedIntersectCount.register(docs.sparkSession)
-    val sh =
-      if (preHashed) array_sort(array_compact(col(shingleCol)))
-      else array_sort(array_distinct(transform(col(shingleCol), s => xxhash64(s))))
-    val all = docs.select(col(idCol), sh.as("_sh"))
-      .persist(Dedup.pairStorage)
+    val all = lockedPersist(docs.select(col(idCol),
+      hashedSetCol(shingleCol, preHashed).as("_sh")))
     collapsedContainmentPairs(all, idCol, num, den,
       lshBands = Some((numHashes, bands)))
   }
@@ -780,20 +912,19 @@ object Dedup {
     * [[containmentCandidates]]); dfCap 0 resolves adaptively from the
     * measured rep count once the rep table materializes.
     */
-  private def collapsedContainmentPairs(all: DataFrame, idCol: String,
+  private[graft] def collapsedContainmentPairs(all: DataFrame, idCol: String,
       num: Int, den: Int, caps: Option[(Int, Long)] = None,
-      lshBands: Option[(Int, Int)] = None): DataFrame = {
+      lshBands: Option[(Int, Int)] = None,
+      ownsAll: Boolean = true): DataFrame = {
     // min-id representative per distinct set; mapping id -> rep is a
     // co-partitioned join on _sh (never a collect_list of group members
     // — a boilerplate doc duplicated 10⁹ times must not become one row)
     val repTab = all.groupBy(col("_sh")).agg(min(col(idCol)).as("_rep"))
-    val base = repTab
+    val base = lockedPersist(repTab
       .select(col("_rep").as(idCol), col("_sh"))
-      .withColumn("_n", size(col("_sh")))
-      .persist(Dedup.pairStorage)
-    val mapping = all.join(repTab, "_sh")
-      .select(col(idCol).as("_m"), col("_rep"))
-      .persist(Dedup.pairStorage)
+      .withColumn("_n", size(col("_sh"))))
+    val mapping = lockedPersist(all.join(repTab, "_sh")
+      .select(col(idCol).as("_m"), col("_rep")))
     // materialize both derived caches NOW and release the corpus-scale
     // source cache before the heavy candidate/verify stages — the r12
     // shape held three near-identical array-heavy caches (all/base/
@@ -804,11 +935,11 @@ object Dedup {
     // that also returns Σ_n, which is exactly the verify-side byte
     // estimate arraySideBytes used to pay a third job for.
     val (baseStats, _) = inParallel(
-      base.agg(count(lit(1)), coalesce(sum(col("_n")), lit(0L))).head,
-      mapping.count())
+      lockedHead(base.agg(count(lit(1)), coalesce(sum(col("_n")), lit(0L)))),
+      lockedCount(mapping))
     val nReps = baseStats.getLong(0)
     val repSideBytes = nReps * 24L + baseStats.getLong(1) * 8L
-    all.unpersist()
+    if (ownsAll) lockedUnpersist(all)
     // adaptive stop-shingle cap: a shingle present in more than ~1/64 of
     // the distinct-set corpus (floor 256 so small corpora never band) is
     // boilerplate whose posting group is quadratic candidate mass with
@@ -829,8 +960,7 @@ object Dedup {
     // OPH band-bucket self-join — so the persist is posting-path-only.
     val ranked =
       if (lshBands.isDefined) None
-      else Some(dfOrderedPosts(base, idCol, Seq.empty)
-        .persist(Dedup.pairStorage))
+      else Some(lockedPersist(dfOrderedPosts(base, idCol, Seq.empty)))
     try {
       val candidates = lshBands match {
         case Some((numHashes0, bands0)) =>
@@ -908,10 +1038,11 @@ object Dedup {
           col("_n").cast("long").as("common"),
           col("_n").cast("long").as("size_sub"),
           lit(1.0).as("containment"))
-      cross.unionAll(within).localCheckpoint(true)
+      lockedCheckpoint(cross.unionAll(within))
     } finally {
-      ranked.foreach(_.unpersist()); base.unpersist(); mapping.unpersist()
-      all.unpersist(): Unit
+      ranked.foreach(lockedUnpersist); lockedUnpersist(base)
+      lockedUnpersist(mapping)
+      if (ownsAll) lockedUnpersist(all)
     }
   }
 
@@ -1115,10 +1246,10 @@ object Dedup {
       preHashed: Boolean = false): DataFrame = {
     // preHashed: shingleCol is already a distinct array<bigint> (e.g. the
     // native graft.plans.ShingleHashes one-pass form)
-    val hashed = (if (preHashed) docs.select(col(idCol), col(shingleCol).as("_sh"))
+    val hashed = lockedPersist(
+      if (preHashed) docs.select(col(idCol), col(shingleCol).as("_sh"))
       else docs.select(col(idCol),
         array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh")))
-      .persist(Dedup.pairStorage)
     try {
       val banded = minhashBandKeys(hashed, idCol, numHashes, bands)
       val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
@@ -1128,14 +1259,14 @@ object Dedup {
         .distinct()
       val jac = size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
         size(array_union(col("_sh"), col("_sh_b")))
-      pairs
+      // pairs ≪ corpus; the checkpoint frees the shingle cache
+      lockedCheckpoint(pairs
         .join(hashed.select(col(idCol).as("doc_a"), col("_sh")), "doc_a")
         .join(hashed.select(col(idCol).as("doc_b"), col("_sh").as("_sh_b")), "doc_b")
         .withColumn("jaccard", jac)
         .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint(true) // pairs ≪ corpus; frees the shingle cache
-    } finally hashed.unpersist()
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    } finally lockedUnpersist(hashed)
   }
 
   /** Columnar SimHash over a pre-hashed token column: majority vote on the

@@ -125,8 +125,13 @@ object Pq {
 
   def trainBooks(coded: DataFrame, subDim: Int, m: Int, k: Int, iters: Int,
       salt: String): Array[Seq[(Long, Array[Long])]] = {
-    // ONE-JOB gate+collect (see LocalCodesGate)
-    val fetched = coded.limit(LocalCodesGate + 1).collect()
+    // ONE-JOB gate+collect (see LocalCodesGate). Columns selected BY NAME
+    // (r15 ADVICE): the rows are read positionally below, and the
+    // distributed twin resolves by name — an explicit select pins the
+    // positions so a caller passing extra/reordered columns can't
+    // silently train on the wrong slots.
+    val fetched = coded.select(col("vec_id"), col("codes"))
+      .limit(LocalCodesGate + 1).collect()
     if (fetched.length <= LocalCodesGate)
       localTrainBooks(
         fetched.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)),
