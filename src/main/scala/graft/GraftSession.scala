@@ -70,7 +70,8 @@ object GraftSession {
     // first wave to the session's parallelism instead: wave-1 cost is
     // bounded at one task per core, and a gate-sized result arrives in
     // one wave. Tracks core count, not a local constant.
-    .config("spark.sql.limit.initialNumPartitions", DefaultCpus)
+    .config("spark.sql.limit.initialNumPartitions",
+      sys.env.getOrElse("SPARK_GRAFT_LIMIT_INITIAL", DefaultCpus))
     .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -308,8 +308,13 @@ object Dedup {
     // producing the identical per-hash count (the aggregate-then-annotate
     // fusion of VERDICT r15 item 3). The global (df, h) order — and with
     // it every `_pos` rank and prefix length — is unchanged.
-    posts
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_h"))))
+    val withDf =
+      if (sys.env.contains("SPARK_GRAFT_DF_JOIN")) { // A/B: r15 join form
+        val dfTab = posts.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+        posts.join(dfTab, "_h")
+      } else posts
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_h"))))
+    withDf
       .withColumn("_pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_h"))))
       // df<2 postings can never match across documents (any shared hash

@@ -63,7 +63,8 @@ object Graph {
     val all = new Array[Long](srcA.length + dstA.length)
     System.arraycopy(srcA, 0, all, 0, srcA.length)
     System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
-    java.util.Arrays.sort(all)
+    // parallelSort: same sorted result, all driver cores (r16)
+    java.util.Arrays.parallelSort(all)
     var w = 0
     var i = 0
     while (i < all.length) {
@@ -107,12 +108,48 @@ object Graph {
     }
   }
 
-  /** Remap raw edge endpoints to dense indices into `ids`. */
+  /** Split [0, n) into core-count chunks and run `f(start, end)` on the
+    * driver's cores (r16, guide §1.2 step 2 — per-task work AFTER the job
+    * shape is right): the gated local algorithm cores are single-threaded
+    * Java loops by construction, so on a 32-core driver the local path
+    * left 31 cores idle for its whole driverGap (measured 1.8 s of the
+    * 3.2 s q_triangles wall). Each caller's per-chunk work is either a
+    * pure partial sum (triangles), an exclusive per-node write
+    * (labelProp/pageRank-by-incoming-CSR), or a per-chunk scratch — all
+    * order-independent, so results are bit-identical to the sequential
+    * loop (parity specs unchanged). Thread count tracks the session's
+    * core budget (SPARK_GRAFT_CPUS), not a local constant.
+    */
+  private def parallelChunks(n: Int)(f: (Int, Int) => Unit): Unit = {
+    val cores =
+      if (sys.env.contains("SPARK_GRAFT_NO_LOCAL_PAR")) 1 // A/B kill-switch
+      else math.min(
+        graft.GraftSession.DefaultCpus.toInt,
+        Runtime.getRuntime.availableProcessors()).max(1)
+    val nChunks = math.min(cores * 4, n).max(1) // 4×: cheap load balance
+    if (nChunks <= 1) { f(0, n); return }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val step = (n + nChunks - 1) / nChunks
+    val fs = (0 until nChunks).map { c =>
+      val s = c * step; val e = math.min(n, s + step)
+      Future(if (s < e) f(s, e))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** Remap raw edge endpoints to dense indices into `ids`. Each slot is
+    * an independent binary search with an exclusive write — parallel
+    * over edge chunks (r16), identical output.
+    */
   private def toDense(ids: Array[Long], a: Array[Long]): Array[Int] = {
     val out = new Array[Int](a.length)
-    var i = 0
-    while (i < a.length) {
-      out(i) = java.util.Arrays.binarySearch(ids, a(i)); i += 1
+    parallelChunks(a.length) { (s, e) =>
+      var i = s
+      while (i < e) {
+        out(i) = java.util.Arrays.binarySearch(ids, a(i)); i += 1
+      }
     }
     out
   }
@@ -234,16 +271,30 @@ object Graph {
     val deg = new Array[Long](n)
     var k = 0
     while (k < m) { deg(si(k)) += 1L; k += 1 }
+    // incoming-CSR (by dst) so each node's in-mass sum is an EXCLUSIVE
+    // write — the per-edge scatter loop parallelizes over node chunks
+    // ([[parallelChunks]]) with no contention; the sum's terms are the
+    // same truncating-division values in a different order, and Long
+    // addition is commutative, so ranks are bit-identical
+    val (inOff, inSrc) = csr(n, di, si)
     val init = Scale / n
     val base = 15L * init / 100L
     var rank = Array.fill(n)(init)
     for (_ <- 0 until iters) {
-      val inMass = new Array[Long](n)
-      k = 0
-      while (k < m) { inMass(di(k)) += rank(si(k)) / deg(si(k)); k += 1 }
       val next = new Array[Long](n)
-      var i = 0
-      while (i < n) { next(i) = base + 85L * inMass(i) / 100L; i += 1 }
+      val cur = rank
+      parallelChunks(n) { (s, e) =>
+        var v = s
+        while (v < e) {
+          var acc = 0L
+          var p = inOff(v)
+          while (p < inOff(v + 1)) {
+            val u = inSrc(p); acc += cur(u) / deg(u); p += 1
+          }
+          next(v) = base + 85L * acc / 100L
+          v += 1
+        }
+      }
       rank = next
     }
     spark.createDataFrame(
@@ -339,13 +390,18 @@ object Graph {
     System.arraycopy(si, 0, bothS, 0, m); System.arraycopy(di, 0, bothD, 0, m)
     System.arraycopy(di, 0, bothS, m, m); System.arraycopy(si, 0, bothD, m, m)
     val (off0, tgt0) = csr(n, bothS, bothD)
-    // sort + dedupe each adjacency segment in place (set semantics)
+    // sort each adjacency segment (independent — all driver cores,
+    // [[parallelChunks]]), then dedupe into the compact set-semantics CSR
+    // (sequential: shared write cursor, O(m) cheap)
+    parallelChunks(n) { (s, e) =>
+      var u = s
+      while (u < e) { java.util.Arrays.sort(tgt0, off0(u), off0(u + 1)); u += 1 }
+    }
     val off = new Array[Int](n + 1)
     val tgt = new Array[Int](tgt0.length)
     var w = 0
     var u = 0
     while (u < n) {
-      java.util.Arrays.sort(tgt0, off0(u), off0(u + 1))
       var j = off0(u)
       val segStart = w
       while (j < off0(u + 1)) {
@@ -356,31 +412,40 @@ object Graph {
       u += 1
     }
     var labels = ids.clone() // label(v) starts as v's own id
-    val scratch = new Array[Long](n.max(1))
+    var maxDeg = 0
+    u = 0
+    while (u < n) { maxDeg = maxDeg.max(off(u + 1) - off(u)); u += 1 }
     for (_ <- 0 until iters) {
       val next = new Array[Long](n)
-      var v = 0
-      while (v < n) {
-        val s = off(v); val e0 = off(v + 1)
-        if (s == e0) next(v) = ids(v)
-        else {
-          var j = s
-          while (j < e0) { scratch(j - s) = labels(tgt(j)); j += 1 }
-          val d = e0 - s
-          java.util.Arrays.sort(scratch, 0, d)
-          // runs ascend by label, so a strictly-greater count test keeps
-          // the LOWEST label on ties — the minBy((-c, l)) order
-          var best = scratch(0); var bestC = 0L
-          var i = 0
-          while (i < d) {
-            var c = 1L
-            while (i + 1 < d && scratch(i + 1) == scratch(i)) { c += 1L; i += 1 }
-            if (c > bestC) { bestC = c; best = scratch(i) }
-            i += 1
+      // per-v updates are independent (read labels, write next(v) only) —
+      // parallel over node chunks with per-chunk scratch; identical
+      // per-node argmax, so the result is bit-identical to the
+      // sequential loop
+      parallelChunks(n) { (st, en) =>
+        val scratch = new Array[Long](maxDeg.max(1))
+        var v = st
+        while (v < en) {
+          val s = off(v); val e0 = off(v + 1)
+          if (s == e0) next(v) = ids(v)
+          else {
+            var j = s
+            while (j < e0) { scratch(j - s) = labels(tgt(j)); j += 1 }
+            val d = e0 - s
+            java.util.Arrays.sort(scratch, 0, d)
+            // runs ascend by label, so a strictly-greater count test keeps
+            // the LOWEST label on ties — the minBy((-c, l)) order
+            var best = scratch(0); var bestC = 0L
+            var i = 0
+            while (i < d) {
+              var c = 1L
+              while (i + 1 < d && scratch(i + 1) == scratch(i)) { c += 1L; i += 1 }
+              if (c > bestC) { bestC = c; best = scratch(i) }
+              i += 1
+            }
+            next(v) = best
           }
-          next(v) = best
+          v += 1
         }
-        v += 1
       }
       labels = next
     }
@@ -567,26 +632,36 @@ object Graph {
     }
     val (off, tgt) = csr(n, java.util.Arrays.copyOf(eu, w),
       java.util.Arrays.copyOf(ev, w))
-    var u = 0
-    while (u < n) { java.util.Arrays.sort(tgt, off(u), off(u + 1)); u += 1 }
-    var tri = 0L
-    u = 0
-    while (u < n) {
-      var p = off(u)
-      while (p < off(u + 1)) {
-        val v = tgt(p)
-        // merge two sorted out-neighbor runs, counting matches
-        var i = off(u); var j = off(v)
-        while (i < off(u + 1) && j < off(v + 1)) {
-          if (tgt(i) == tgt(j)) { tri += 1; i += 1; j += 1 }
-          else if (tgt(i) < tgt(j)) i += 1
-          else j += 1
-        }
-        p += 1
-      }
-      u += 1
+    // per-node segment sorts and the per-u merge counts are independent —
+    // run them on all driver cores ([[parallelChunks]]); each chunk's
+    // count is a pure partial Long sum, so the total is bit-identical to
+    // the sequential loop for any chunking
+    parallelChunks(n) { (s, e) =>
+      var u = s
+      while (u < e) { java.util.Arrays.sort(tgt, off(u), off(u + 1)); u += 1 }
     }
-    (n.toLong, tri)
+    val partials = new java.util.concurrent.atomic.LongAdder
+    parallelChunks(n) { (st, en) =>
+      var tri = 0L
+      var u = st
+      while (u < en) {
+        var p = off(u)
+        while (p < off(u + 1)) {
+          val v = tgt(p)
+          // merge two sorted out-neighbor runs, counting matches
+          var i = off(u); var j = off(v)
+          while (i < off(u + 1) && j < off(v + 1)) {
+            if (tgt(i) == tgt(j)) { tri += 1; i += 1; j += 1 }
+            else if (tgt(i) < tgt(j)) i += 1
+            else j += 1
+          }
+          p += 1
+        }
+        u += 1
+      }
+      partials.add(tri)
+    }
+    (n.toLong, partials.sum())
   }
 
   /** General path: adjacency-intersection — build each node's out-neighbor
@@ -765,7 +840,14 @@ object Graph {
     // union(select(src), select(dst)) embedded the whole unpersisted
     // co-purchase chain TWICE in the plan — scan, collect_set, pair
     // explode and distinct each ran double (plan showed two identical
-    // 9-operator subtrees under Union; stage CPU halves with one)
+    // 9-operator subtrees under Union; stage CPU halves with one).
+    // r16 negative result (VERDICT r15 item 2): fusing the cross-order
+    // pair dedup into the degree aggregate via
+    // groupBy(n).agg(size(collect_set(partner))) removes the distinct
+    // Exchange from the plan but measured 1.9 → 4.9 s — a million
+    // per-node partner SETS (ObjectHashAggregate buffers, partials
+    // serialized through the exchange) cost far more than the
+    // row-dedup HashAggregate they replaced. The distinct stays.
     und.select(explode(array($"src", $"dst")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
       .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
