@@ -986,14 +986,29 @@ object Dedup {
                 s"rows=${shape._1 / shape._2}")
               shape
             }
-          val banded = minhashBandKeys(
-            base.select(col(idCol), col("_sh")), idCol, numHashes, bands)
+          // materialize the OPH signature pass ONCE (r16): unchecked, the
+          // signature aggregate re-ran on BOTH sides of the band
+          // self-join AND again under the unionAll's second `und`
+          // reference — the profile showed FOUR ~7 s signature stages
+          // (28 s of the query's 34 s task time) computing identical
+          // sigs. One checkpointed (id, _sig) frame (64 longs/doc) feeds
+          // the cheap band-key explode on every reference; the banding
+          // function is literally the same composition
+          // (minhashBandKeys = bandKeysFromSig ∘ minhashSigs), so bucket
+          // keys — and with them the candidate set and the verified
+          // output — are byte-identical.
+          val sigs = lockedCheckpoint(minhashSigs(
+            base.select(col(idCol), col("_sh")), idCol, numHashes))
+          val banded = bandKeysFromSig(sigs, idCol, numHashes, bands)
           val other = banded.select(col(idCol).as("_b2"),
             col("band"), col("bk"))
-          val und = banded.join(other, Seq("band", "bk"))
+          // und is output-sized (candidate pairs) — checkpoint so the
+          // both-directions union reads it instead of re-running the
+          // band self-join twice
+          val und = lockedCheckpoint(banded.join(other, Seq("band", "bk"))
             .filter(col(idCol) < col("_b2"))
             .select(col(idCol).as("_a"), col("_b2").as("_b"))
-            .distinct()
+            .distinct())
           und.unionAll(und.select(col("_b").as("_a"), col("_a").as("_b")))
         case None => containmentCandidates(base, idCol, num, den,
           positional = resolvedCaps.isEmpty,
@@ -1256,7 +1271,13 @@ object Dedup {
       else docs.select(col(idCol),
         array_distinct(transform(col(shingleCol), s => hashFn(s))).as("_sh")))
     try {
-      val banded = minhashBandKeys(hashed, idCol, numHashes, bands)
+      // one checkpointed signature pass (r16, same fix as the containment
+      // LSH arm): the band self-join's two sides otherwise re-run the
+      // OPH aggregate twice; bucket keys are unchanged
+      // (minhashBandKeys = bandKeysFromSig ∘ minhashSigs)
+      val banded = bandKeysFromSig(
+        lockedCheckpoint(minhashSigs(hashed, idCol, numHashes)),
+        idCol, numHashes, bands)
       val other = banded.select(col(idCol).as(s"${idCol}_b"), col("band"), col("bk"))
       val pairs = banded.join(other, Seq("band", "bk"))
         .filter(col(idCol) < col(s"${idCol}_b"))
